@@ -1,0 +1,270 @@
+"""Log-mel spectrogram frontend, TPU-native.
+
+Behavioral parity target: the reference `FilterbankFeatures`
+(`/root/reference/nemo/collections/asr/parts/preprocessing/features.py:196-453`):
+
+    dither -> preemphasis -> STFT (hann, center=True) -> magnitude -> power
+    -> mel matmul (Slaney filters) -> log(x + 2^-24) -> per-feature masked
+    mean/std normalization -> zero-fill beyond length -> pad_to multiple.
+
+TPU-first design: instead of a CUDA FFT, the STFT is computed as a single
+framed matmul against a precomputed windowed real-DFT basis
+[n_fft, 2*(n_fft//2+1)] — for ASR-sized n_fft (512) this rides the MXU and
+fuses with the mel projection's surrounding elementwise work under XLA.
+Everything is static-shape and jittable; the waveform arrives as a padded
+[B, T] bucket and valid lengths flow through the exact frame-count formula
+(`features.py:369`: frames = floor((len + 2*pad - n_fft) / hop) + 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_GUARD = 2.0 ** -24  # reference log_zero_guard_value (features.py:216)
+STD_GUARD = 1e-5  # reference CONSTANT added to std (features.py:52,68)
+
+
+# ---------------------------------------------------------------------------
+# Host-side constant construction (numpy): mel filters + windowed DFT basis
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel_slaney(freqs: np.ndarray) -> np.ndarray:
+    """Slaney mel scale: linear below 1 kHz, logarithmic above."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3.0
+    mels = (freqs - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = freqs >= min_log_hz
+    mels = np.where(above, min_log_mel + np.log(np.maximum(freqs, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3.0
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = mels >= min_log_mel
+    freqs = np.where(above, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+def mel_filterbank(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, [n_mels, n_fft//2 + 1].
+
+    Matches `librosa.filters.mel(..., htk=False, norm='slaney')`, which is what
+    the reference bakes into its `fb` buffer (features.py:316-320).
+    """
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    n_bins = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_bins)
+    mel_pts = np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz_slaney(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney area normalization.
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def _hann_window_sym(win_length: int) -> np.ndarray:
+    """Symmetric (periodic=False) Hann window, matching torch.hann_window(periodic=False)."""
+    if win_length == 1:
+        return np.ones(1, dtype=np.float64)
+    n = np.arange(win_length, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (win_length - 1))
+
+
+def stft_basis(n_fft: int, win_length: int, window: str = "hann") -> np.ndarray:
+    """Windowed real-DFT basis, [n_fft, 2 * n_bins] = [cos | -sin] columns.
+
+    frames @ basis yields (real, imag) of the one-sided spectrum, identical to
+    torch.stft with a center-padded window of length `win_length`. Expressing
+    the DFT as a matmul keeps the STFT on the MXU.
+    """
+    n_bins = n_fft // 2 + 1
+    if window == "hann":
+        win = _hann_window_sym(win_length)
+    elif window in (None, "none"):
+        win = np.ones(win_length, dtype=np.float64)
+    else:
+        raise ValueError(f"unsupported window: {window}")
+    # torch.stft center-pads a short window with zeros to n_fft.
+    pad_left = (n_fft - win_length) // 2
+    full_win = np.zeros(n_fft, dtype=np.float64)
+    full_win[pad_left : pad_left + win_length] = win
+
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_bins, dtype=np.float64)[None, :]
+    angle = 2.0 * np.pi * n * k / n_fft
+    cos_basis = np.cos(angle) * full_win[:, None]
+    sin_basis = -np.sin(angle) * full_win[:, None]
+    return np.concatenate([cos_basis, sin_basis], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MelFeatureConfig:
+    """Mirrors the schema of the reference `AudioToMelSpectrogramPreprocessor`
+    (config surface: configs/conformer_ctc_bpe.yaml:81-94)."""
+
+    sample_rate: int = 16000
+    window_size: float = 0.025  # seconds
+    window_stride: float = 0.01  # seconds
+    window: str = "hann"
+    features: int = 80
+    n_fft: int | None = 512
+    lowfreq: float = 0.0
+    highfreq: float | None = None
+    log: bool = True
+    log_zero_guard_value: float = LOG_GUARD
+    dither: float = 1e-5
+    preemph: float | None = 0.97
+    normalize: str = "per_feature"  # per_feature | all_features | none
+    mag_power: float = 2.0
+    pad_to: int = 0
+    pad_value: float = 0.0
+    frame_splicing: int = 1
+
+    @property
+    def win_length(self) -> int:
+        return int(self.window_size * self.sample_rate)
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.window_stride * self.sample_rate)
+
+    @property
+    def n_fft_(self) -> int:
+        return self.n_fft or 2 ** math.ceil(math.log2(self.win_length))
+
+
+def mel_seq_len(cfg: MelFeatureConfig, sample_len) -> jnp.ndarray:
+    """Number of STFT frames for `sample_len` samples (center=True padding).
+
+    Parity with reference get_seq_len (features.py:369-377).
+    """
+    n_fft, hop = cfg.n_fft_, cfg.hop_length
+    pad_amount = (n_fft // 2) * 2
+    return (jnp.floor((jnp.asarray(sample_len, jnp.float32) + pad_amount - n_fft) / hop) + 1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device-side pipeline (pure JAX, jittable, static shapes)
+# ---------------------------------------------------------------------------
+
+
+def _frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """[B, T_padded] -> frames [B, F, n_fft] with F = (T_padded - n_fft)//hop + 1."""
+    b, t = x.shape
+    num_frames = (t - n_fft) // hop + 1
+    # Static gather index matrix [F, n_fft]; XLA lowers this to an efficient
+    # strided gather. (A Pallas fused frame+matmul kernel can replace this.)
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return x[:, idx]
+
+
+@partial(jax.jit, static_argnames=("cfg", "training"))
+def log_mel_spectrogram(
+    cfg: MelFeatureConfig,
+    waveform: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    rng: jax.Array | None = None,
+    training: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """wav [B, T] (+ valid lengths [B]) -> (log-mel [B, D, Tf], frame lengths [B]).
+
+    Runs entirely on device in fp32 (feature extraction is precision-critical;
+    the reference likewise keeps its STFT out of autocast, features.py:399).
+    """
+    n_fft, hop = cfg.n_fft_, cfg.hop_length
+    x = waveform.astype(jnp.float32)
+    seq_len = mel_seq_len(cfg, lengths)
+
+    if training and cfg.dither > 0:
+        if rng is None:
+            raise ValueError("training=True with dither>0 requires an rng key")
+        x = x + cfg.dither * jax.random.normal(rng, x.shape, dtype=x.dtype)
+
+    if cfg.preemph is not None:
+        x = jnp.concatenate([x[:, :1], x[:, 1:] - cfg.preemph * x[:, :-1]], axis=1)
+
+    # center=True reflect padding (torch.stft default pad_mode='reflect').
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+
+    frames = _frame_signal(x, n_fft, hop)  # [B, F, n_fft]
+    basis = jnp.asarray(stft_basis(n_fft, cfg.win_length, cfg.window))
+    spec = jnp.einsum("bfn,nk->bfk", frames, basis, precision=jax.lax.Precision.HIGHEST)
+    n_bins = n_fft // 2 + 1
+    power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2  # [B, F, bins]
+    if cfg.mag_power == 1.0:
+        power = jnp.sqrt(power)
+    elif cfg.mag_power != 2.0:
+        power = jnp.sqrt(power) ** cfg.mag_power
+
+    fb = jnp.asarray(
+        mel_filterbank(cfg.sample_rate, n_fft, cfg.features, cfg.lowfreq, cfg.highfreq)
+    )
+    mel = jnp.einsum("bfk,mk->bmf", power, fb, precision=jax.lax.Precision.HIGHEST)  # [B, D, F]
+
+    if cfg.log:
+        mel = jnp.log(mel + cfg.log_zero_guard_value)
+
+    num_frames = mel.shape[-1]
+    frame_idx = jnp.arange(num_frames)[None, :]
+    valid = frame_idx < seq_len[:, None]  # [B, F]
+
+    if cfg.normalize == "per_feature":
+        mask = valid[:, None, :].astype(mel.dtype)  # [B, 1, F]
+        cnt = jnp.maximum(seq_len.astype(mel.dtype), 1.0)[:, None, None]
+        mean = jnp.sum(mel * mask, axis=-1, keepdims=True) / cnt
+        # torch.std default is the unbiased (ddof=1) estimator.
+        var = jnp.sum(((mel - mean) * mask) ** 2, axis=-1, keepdims=True) / jnp.maximum(cnt - 1.0, 1.0)
+        std = jnp.sqrt(var) + STD_GUARD
+        mel = (mel - mean) / std
+    elif cfg.normalize == "all_features":
+        mask = valid[:, None, :].astype(mel.dtype)
+        cnt = jnp.maximum(seq_len.astype(mel.dtype), 1.0)[:, None, None] * mel.shape[1]
+        mean = jnp.sum(mel * mask, axis=(1, 2), keepdims=True) / cnt
+        var = jnp.sum(((mel - mean) * mask) ** 2, axis=(1, 2), keepdims=True) / jnp.maximum(cnt - 1.0, 1.0)
+        std = jnp.sqrt(var) + STD_GUARD
+        mel = (mel - mean) / std
+
+    mel = jnp.where(valid[:, None, :], mel, cfg.pad_value)
+
+    if cfg.pad_to and cfg.pad_to > 0:
+        rem = mel.shape[-1] % cfg.pad_to
+        if rem != 0:
+            mel = jnp.pad(
+                mel, ((0, 0), (0, 0), (0, cfg.pad_to - rem)), constant_values=cfg.pad_value
+            )
+    return mel, seq_len

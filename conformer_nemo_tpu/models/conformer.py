@@ -1,0 +1,401 @@
+"""Conformer encoder, TPU-native (flax.linen, static shapes, bf16-friendly).
+
+Behavioral parity target: the reference ConformerEncoder
+(`/root/reference/nemo/collections/asr/modules/conformer_encoder.py`) and its
+submodules (`conformer_modules.py`, `multi_head_attention.py`,
+`subsampling.py`):
+
+  conv-subsampling (striding: log2(f) stacked Conv2d k=3 s=2 p=1 + ReLU,
+  then Linear over C*F') -> xscale * x + rel-pos encoding (2L-1 sinusoids)
+  -> N x [ half-FF -> rel-pos MHSA -> conv module (pointwise->GLU->depthwise
+  k=31 -> norm -> swish -> pointwise) -> half-FF -> LayerNorm ].
+
+TPU-first choices vs the reference:
+  * Everything is a pure function of (params, batch) under jit; masks are
+    computed from lengths with broadcasted iota — no dynamic shapes, no
+    cross-rank max-length all-reduce (bucketed static shapes make the PE
+    cache sync at conformer_encoder.py:283-294 unnecessary).
+  * The depthwise conv is expressed as `lax.conv_general_dilated` with
+    feature_group_count=d_model, which XLA fuses with the flanking pointwise
+    matmuls; conv_norm_type='layer_norm' avoids cross-replica batch-norm
+    (the reference supports the same switch, conformer_modules.py:150).
+  * Matmuls run in bf16 with fp32 accumulation (MXU native); layernorm,
+    softmax and residual adds stay fp32.
+  * The rel-pos attention keeps the Transformer-XL (q+u)k^T + rel_shift((q+v)p^T)
+    formulation (multi_head_attention.py:132-232) as plain batched matmuls —
+    large, MXU-shaped; a Pallas flash-attention path can slot in behind the
+    same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerEncoderConfig:
+    """Schema mirror of the reference encoder config
+    (configs/conformer_ctc_bpe.yaml:105-140)."""
+
+    feat_in: int = 80
+    n_layers: int = 18
+    d_model: int = 512
+    feat_out: int = -1
+    subsampling: str = "striding"  # striding | stacking | none
+    subsampling_factor: int = 4
+    subsampling_conv_channels: int = -1
+    ff_expansion_factor: int = 4
+    self_attention_model: str = "rel_pos"  # rel_pos | abs_pos
+    n_heads: int = 8
+    att_context_size: tuple[int, int] = (-1, -1)
+    xscaling: bool = True
+    untie_biases: bool = True
+    pos_emb_max_len: int = 5000
+    conv_kernel_size: int = 31
+    conv_norm_type: str = "batch_norm"  # batch_norm | layer_norm
+    dropout: float = 0.1
+    dropout_emb: float = 0.0
+    dropout_att: float = 0.1
+    dtype: Any = jnp.bfloat16  # compute dtype; params always fp32
+
+    @property
+    def d_ff(self) -> int:
+        return self.d_model * self.ff_expansion_factor
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def subsampled_lengths(lengths: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Output lengths after striding subsampling (k=3, s=2, p=1, repeated
+    log2(factor) times). Parity with reference calc_length (subsampling.py:272)."""
+    reps = int(math.log2(factor))
+    out = lengths.astype(jnp.float32)
+    for _ in range(reps):
+        out = jnp.floor((out + 2 * 1 - 3) / 2 + 1.0)
+    return out.astype(jnp.int32)
+
+
+def sinusoidal_rel_pos_emb(length: int, d_model: int) -> np.ndarray:
+    """Relative sinusoidal PE for positions (length-1) .. -(length-1), [2L-1, D].
+
+    Matches reference RelPositionalEncoding.extend_pe/create_pe
+    (multi_head_attention.py:235-316): even dims sin(pos*w), odd dims cos(pos*w).
+    """
+    positions = np.arange(length - 1, -length, -1, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model))
+    pe = np.zeros((2 * length - 1, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(positions * div)
+    pe[:, 1::2] = np.cos(positions * div)
+    return pe.astype(np.float32)
+
+
+def sinusoidal_abs_pos_emb(length: int, d_model: int) -> np.ndarray:
+    positions = np.arange(0, length, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model))
+    pe = np.zeros((length, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(positions * div)
+    pe[:, 1::2] = np.cos(positions * div)
+    return pe.astype(np.float32)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL relative shift: [B, H, T, 2T-1] -> [B, H, T, 2T-1] where
+    out[..., i, j] = x[..., i, j + i + 1 - T]-aligned scores. Pad-left one
+    column, fold, drop first row (multi_head_attention.py:159-170)."""
+    b, h, qlen, pos_len = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(b, h, pos_len + 1, qlen)
+    x = x[:, :, 1:, :].reshape(b, h, qlen, pos_len)
+    return x
+
+
+class RelPosMultiHeadAttention(nn.Module):
+    """Multi-head self-attention with Transformer-XL relative positional terms."""
+
+    cfg: ConformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, x, pos_emb, att_mask, *, deterministic: bool):
+        cfg = self.cfg
+        h, dk = cfg.n_heads, cfg.d_head
+        dense = lambda name, feats, use_bias=True: nn.Dense(
+            feats, use_bias=use_bias, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
+        )
+        b, t, _ = x.shape
+        q = dense("linear_q", h * dk)(x).reshape(b, t, h, dk)
+        k = dense("linear_k", h * dk)(x).reshape(b, t, h, dk)
+        v = dense("linear_v", h * dk)(x).reshape(b, t, h, dk)
+        # pos_emb: [2T-1, D] -> [2T-1, H, dk]
+        p = dense("linear_pos", h * dk, use_bias=False)(pos_emb).reshape(-1, h, dk)
+
+        pos_bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
+        pos_bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
+
+        q = q.astype(jnp.float32)
+        # content score: (q + u) k^T    [B, H, T, T]
+        matrix_ac = jnp.einsum("bthd,bshd->bhts", (q + pos_bias_u).astype(cfg.dtype), k)
+        # position score: rel_shift((q + v) p^T)   [B, H, T, 2T-1] -> [B, H, T, T]
+        matrix_bd = jnp.einsum("bthd,phd->bhtp", (q + pos_bias_v).astype(cfg.dtype), p)
+        matrix_bd = _rel_shift(matrix_bd.astype(jnp.float32))[..., :t]
+
+        scores = (matrix_ac.astype(jnp.float32) + matrix_bd) / math.sqrt(dk)
+        scores = jnp.where(att_mask[:, None, :, :], -10000.0, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(att_mask[:, None, :, :], 0.0, attn)
+        attn = nn.Dropout(cfg.dropout_att)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhts,bshd->bthd", attn.astype(cfg.dtype), v).reshape(b, t, h * dk)
+        return dense("linear_out", cfg.d_model)(out)
+
+
+class AbsPosMultiHeadAttention(nn.Module):
+    cfg: ConformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, x, att_mask, *, deterministic: bool):
+        cfg = self.cfg
+        h, dk = cfg.n_heads, cfg.d_head
+        dense = lambda name, feats: nn.Dense(
+            feats, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
+        )
+        b, t, _ = x.shape
+        q = dense("linear_q", h * dk)(x).reshape(b, t, h, dk)
+        k = dense("linear_k", h * dk)(x).reshape(b, t, h, dk)
+        v = dense("linear_v", h * dk)(x).reshape(b, t, h, dk)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) / math.sqrt(dk)
+        scores = jnp.where(att_mask[:, None, :, :], -10000.0, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(att_mask[:, None, :, :], 0.0, attn)
+        attn = nn.Dropout(cfg.dropout_att)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bshd->bthd", attn.astype(cfg.dtype), v).reshape(b, t, h * dk)
+        return dense("linear_out", cfg.d_model)(out)
+
+
+class ConformerFeedForward(nn.Module):
+    cfg: ConformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        cfg = self.cfg
+        x = nn.Dense(cfg.d_ff, dtype=cfg.dtype, param_dtype=jnp.float32, name="linear1")(x)
+        x = nn.silu(x)  # Swish
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=jnp.float32, name="linear2")(x)
+        return x
+
+
+class ConformerConvolution(nn.Module):
+    """pointwise(2d) -> GLU -> pad-masked depthwise(k) -> norm -> swish -> pointwise."""
+
+    cfg: ConformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, *, deterministic: bool, train: bool):
+        cfg = self.cfg
+        d = cfg.d_model
+        x = nn.Dense(2 * d, dtype=cfg.dtype, param_dtype=jnp.float32, name="pointwise_conv1")(x)
+        a, b_ = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b_)  # GLU
+
+        # zero padded positions before the depthwise conv so no padding leaks
+        # into valid frames (conformer_modules.py:168-170)
+        x = jnp.where(pad_mask[:, :, None], 0.0, x)
+
+        kernel = self.param(
+            "depthwise_kernel",
+            nn.initializers.lecun_normal(),
+            (cfg.conv_kernel_size, 1, d),
+            jnp.float32,
+        )
+        bias = self.param("depthwise_bias", nn.initializers.zeros, (d,), jnp.float32)
+        pad = (cfg.conv_kernel_size - 1) // 2
+        x = jax.lax.conv_general_dilated(
+            x.astype(cfg.dtype),
+            kernel.astype(cfg.dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=d,
+        ) + bias.astype(cfg.dtype)
+
+        if cfg.conv_norm_type == "layer_norm":
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x.astype(jnp.float32))
+        else:
+            # Batch norm over (batch, time) per channel. With data-parallel
+            # training, cross-replica stats ride the mesh via nn.BatchNorm
+            # axis_name when inside shard_map/pjit-psum context; here we use
+            # local-batch stats (sync_batchnorm parity note: SURVEY.md 2.7).
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="norm",
+            )(x.astype(jnp.float32))
+        x = nn.silu(x)
+        x = nn.Dense(d, dtype=cfg.dtype, param_dtype=jnp.float32, name="pointwise_conv2")(x)
+        return x
+
+
+class ConformerLayer(nn.Module):
+    """half-FF -> MHSA -> conv -> half-FF -> LayerNorm (macaron, fc_factor=0.5)."""
+
+    cfg: ConformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, x, pos_emb, att_mask, pad_mask, *, deterministic: bool, train: bool):
+        cfg = self.cfg
+        fc = 0.5
+        drop = lambda y: nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+
+        residual = x
+        y = ln("norm_feed_forward1")(x)
+        y = ConformerFeedForward(cfg, name="feed_forward1")(y, deterministic=deterministic)
+        residual = residual + drop(y.astype(jnp.float32)) * fc
+
+        y = ln("norm_self_att")(residual)
+        if cfg.self_attention_model == "rel_pos":
+            y = RelPosMultiHeadAttention(cfg, name="self_attn")(
+                y, pos_emb, att_mask, deterministic=deterministic
+            )
+        else:
+            y = AbsPosMultiHeadAttention(cfg, name="self_attn")(
+                y, att_mask, deterministic=deterministic
+            )
+        residual = residual + drop(y.astype(jnp.float32))
+
+        y = ln("norm_conv")(residual)
+        y = ConformerConvolution(cfg, name="conv")(
+            y, pad_mask, deterministic=deterministic, train=train
+        )
+        residual = residual + drop(y.astype(jnp.float32))
+
+        y = ln("norm_feed_forward2")(residual)
+        y = ConformerFeedForward(cfg, name="feed_forward2")(y, deterministic=deterministic)
+        residual = residual + drop(y.astype(jnp.float32)) * fc
+
+        return ln("norm_out")(residual)
+
+
+class ConvSubsampling(nn.Module):
+    """Striding subsampling: log2(factor) x [Conv2d(C, k=3, s=2, p=1) + ReLU],
+    then Linear over flattened (C * F') (subsampling.py:44-180)."""
+
+    cfg: ConformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        channels = (
+            cfg.subsampling_conv_channels if cfg.subsampling_conv_channels > 0 else cfg.d_model
+        )
+        reps = int(math.log2(cfg.subsampling_factor))
+        # x: [B, T, F] -> [B, T, F, 1] (NHWC)
+        y = x[..., None].astype(cfg.dtype)
+        for i in range(reps):
+            y = nn.Conv(
+                channels,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding=[(1, 1), (1, 1)],
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name=f"conv{i}",
+            )(y)
+            y = nn.relu(y)
+        b, t, f, c = y.shape
+        y = y.reshape(b, t, f * c)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=jnp.float32, name="out")(y)
+
+
+class StackingSubsampling(nn.Module):
+    cfg: ConformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        f = cfg.subsampling_factor
+        b, t, d = x.shape
+        pad = f - (t % f) if t % f else f  # reference always pads (subsampling.py:35)
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        x = x.reshape(b, (t + pad) // f, d * f)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=jnp.float32, name="proj_out")(x)
+
+
+def make_masks(cfg: ConformerEncoderConfig, t: int, lengths: jnp.ndarray):
+    """(pad_mask [B,T] True=PAD, att_mask [B,T,T] True=MASKED) from lengths.
+
+    Mirrors make_pad_mask + att-context banding (conformer_encoder.py:263-296):
+    att[i,j] allowed iff both valid and -left <= j - i <= right.
+    """
+    idx = jnp.arange(t)
+    valid = idx[None, :] < lengths[:, None]  # [B, T]
+    att_ok = valid[:, :, None] & valid[:, None, :]
+    left, right = cfg.att_context_size
+    rel = idx[None, :, None] - idx[None, None, :]  # i - j
+    if left >= 0:
+        att_ok = att_ok & (rel <= left)
+    if right >= 0:
+        att_ok = att_ok & (-rel <= right)
+    return ~valid, ~att_ok
+
+
+class ConformerEncoder(nn.Module):
+    """Full encoder: [B, D_feat, T] + lengths -> [B, d_model, T'] + lengths'."""
+
+    cfg: ConformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, features, lengths, *, train: bool = False):
+        cfg = self.cfg
+        x = jnp.swapaxes(features, 1, 2)  # [B, T, F]
+        deterministic = not train
+
+        if cfg.subsampling == "striding" and cfg.subsampling_factor > 1:
+            x = ConvSubsampling(cfg, name="pre_encode")(x)
+            out_lengths = subsampled_lengths(lengths, cfg.subsampling_factor)
+        elif cfg.subsampling == "stacking" and cfg.subsampling_factor > 1:
+            x = StackingSubsampling(cfg, name="pre_encode")(x)
+            f = cfg.subsampling_factor
+            t_in = features.shape[-1]
+            pad = f - (t_in % f) if t_in % f else f
+            out_lengths = (lengths + pad) // f
+        else:
+            x = nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=jnp.float32, name="pre_encode")(x)
+            out_lengths = lengths
+
+        t = x.shape[1]
+        x = x.astype(jnp.float32)
+        if cfg.xscaling:
+            x = x * math.sqrt(cfg.d_model)
+
+        if cfg.self_attention_model == "rel_pos":
+            pos_emb = jnp.asarray(sinusoidal_rel_pos_emb(t, cfg.d_model))
+            pos_emb = nn.Dropout(cfg.dropout_emb)(pos_emb, deterministic=deterministic)
+        else:
+            pe = jnp.asarray(sinusoidal_abs_pos_emb(t, cfg.d_model))
+            x = x + pe[None]
+            pos_emb = None
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        pad_mask, att_mask = make_masks(cfg, t, out_lengths)
+
+        for i in range(cfg.n_layers):
+            x = ConformerLayer(cfg, name=f"layers_{i}")(
+                x, pos_emb, att_mask, pad_mask, deterministic=deterministic, train=train
+            )
+
+        if cfg.feat_out > 0 and cfg.feat_out != cfg.d_model:
+            x = nn.Dense(cfg.feat_out, dtype=cfg.dtype, param_dtype=jnp.float32, name="out_proj")(x)
+
+        return jnp.swapaxes(x.astype(jnp.float32), 1, 2), out_lengths

@@ -1,0 +1,131 @@
+"""Conformer encoder: structural and numerical-semantics tests.
+
+Parity targets: reference conformer_encoder.py / conformer_modules.py /
+multi_head_attention.py / subsampling.py (see module docstrings).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conformer_nemo_tpu.models.conformer import (
+    ConformerEncoder,
+    ConformerEncoderConfig,
+    _rel_shift,
+    make_masks,
+    sinusoidal_rel_pos_emb,
+    subsampled_lengths,
+)
+
+
+def small_cfg(**kw):
+    base = dict(
+        feat_in=80, n_layers=2, d_model=64, n_heads=4, ff_expansion_factor=4,
+        conv_kernel_size=31, conv_norm_type="layer_norm", dropout=0.0,
+        dropout_att=0.0, dtype=jnp.float32,
+    )
+    base.update(kw)
+    return ConformerEncoderConfig(**base)
+
+
+def test_rel_shift_alignment():
+    # After rel_shift, out[..., i, j] == x[..., i, (T-1) - i + j]
+    # (position index p = L-1 - (i-j) holds embedding for relative offset i-j).
+    t = 5
+    x = np.arange(1 * 1 * t * (2 * t - 1), dtype=np.float32).reshape(1, 1, t, 2 * t - 1)
+    out = np.asarray(_rel_shift(jnp.asarray(x)))[..., :t]
+    for i in range(t):
+        for j in range(t):
+            assert out[0, 0, i, j] == x[0, 0, i, (t - 1) - i + j]
+
+
+def test_subsampled_lengths_formula():
+    # floor((L + 2 - 3)/2 + 1) twice for factor 4 (subsampling.py:272)
+    lens = jnp.array([100, 101, 102, 103, 7, 1])
+    out = np.asarray(subsampled_lengths(lens, 4))
+    expected = []
+    for l in [100, 101, 102, 103, 7, 1]:
+        for _ in range(2):
+            l = (l + 2 - 3) // 2 + 1
+        expected.append(l)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_masks():
+    cfg = small_cfg(att_context_size=(2, 1))
+    pad_mask, att_mask = make_masks(cfg, 6, jnp.array([6, 4]))
+    pad_mask, att_mask = np.asarray(pad_mask), np.asarray(att_mask)
+    # pad_mask True means padded
+    np.testing.assert_array_equal(pad_mask[1], [False] * 4 + [True] * 2)
+    # banding: query i attends keys j with i-2 <= j <= i+1
+    assert not att_mask[0, 3, 2]   # within left context
+    assert att_mask[0, 3, 0]       # beyond left context -> masked
+    assert not att_mask[0, 3, 4]   # right context 1 allowed
+    assert att_mask[0, 3, 5]       # beyond right -> masked
+    # padded keys masked for sample 1
+    assert att_mask[1, 3, 4].all()
+
+
+def test_encoder_shapes_and_padding_invariance():
+    cfg = small_cfg()
+    enc = ConformerEncoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (2, 80, 64))
+    lengths = jnp.array([64, 40])
+    variables = enc.init(rng, feats, lengths, train=False)
+    out, out_len = enc.apply(variables, feats, lengths, train=False)
+    assert out.shape == (2, 64, 16)  # 4x subsampling
+    np.testing.assert_array_equal(np.asarray(out_len), np.asarray(subsampled_lengths(lengths, 4)))
+
+    # Padding invariance: changing padded region of input must not change
+    # valid outputs (masks must fully isolate padding).
+    feats2 = feats.at[1, :, 40:].set(123.0)
+    out2, _ = enc.apply(variables, feats2, lengths, train=False)
+    valid = int(np.asarray(out_len)[1])
+    np.testing.assert_allclose(
+        np.asarray(out[1, :, :valid]), np.asarray(out2[1, :, :valid]), rtol=2e-4, atol=2e-4
+    )
+
+
+def count_params(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+@pytest.mark.parametrize(
+    "d_model,n_heads,n_layers,expected_m",
+    [(176, 4, 16, 13), (512, 8, 18, 121)],
+)
+def test_param_count_matches_reference_sizes(d_model, n_heads, n_layers, expected_m):
+    # Reference size table: configs/conformer_ctc_bpe.yaml:9-17
+    cfg = ConformerEncoderConfig(
+        feat_in=80, n_layers=n_layers, d_model=d_model, n_heads=n_heads,
+        conv_norm_type="batch_norm", dtype=jnp.float32,
+    )
+    enc = ConformerEncoder(cfg)
+    feats = jnp.zeros((1, 80, 32))
+    variables = enc.init(jax.random.PRNGKey(0), feats, jnp.array([32]), train=False)
+    n = count_params(variables["params"])
+    assert abs(n / 1e6 - expected_m) / expected_m < 0.08, f"{n/1e6:.1f}M vs {expected_m}M"
+
+
+def test_abs_pos_variant_runs():
+    cfg = small_cfg(self_attention_model="abs_pos")
+    enc = ConformerEncoder(cfg)
+    feats = jnp.zeros((1, 80, 32))
+    variables = enc.init(jax.random.PRNGKey(0), feats, jnp.array([32]), train=False)
+    out, _ = enc.apply(variables, feats, jnp.array([32]), train=False)
+    assert out.shape == (1, 64, 8)
+
+
+def test_batch_norm_variant_train_updates_stats():
+    cfg = small_cfg(conv_norm_type="batch_norm")
+    enc = ConformerEncoder(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 32))
+    lengths = jnp.array([32, 32])
+    variables = enc.init(jax.random.PRNGKey(0), feats, lengths, train=False)
+    out, updates = enc.apply(
+        variables, feats, lengths, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+    )
+    assert "batch_stats" in updates

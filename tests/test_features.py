@@ -1,0 +1,128 @@
+"""Feature-frontend parity tests.
+
+Oracle: an independent torch/numpy implementation of the reference
+`FilterbankFeatures.forward` formula chain
+(reference features.py:382-453), using torch.stft — the same native STFT the
+reference calls — so any mismatch in framing/window/fft/normalization shows up.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from conformer_nemo_tpu.audio.features import (
+    MelFeatureConfig,
+    log_mel_spectrogram,
+    mel_filterbank,
+    mel_seq_len,
+    stft_basis,
+)
+
+
+def torch_oracle_logmel(cfg: MelFeatureConfig, wav: np.ndarray, lengths: np.ndarray):
+    """Reference formula chain in torch (eval mode: no dither)."""
+    x = torch.from_numpy(wav).float()
+    n_fft, hop, win = cfg.n_fft_, cfg.hop_length, cfg.win_length
+    seq_len = torch.floor(
+        (torch.from_numpy(lengths).float() + 2 * (n_fft // 2) - n_fft) / hop
+    ).long() + 1
+
+    if cfg.preemph is not None:
+        x = torch.cat((x[:, :1], x[:, 1:] - cfg.preemph * x[:, :-1]), dim=1)
+
+    window = torch.hann_window(win, periodic=False)
+    spec = torch.stft(
+        x, n_fft=n_fft, hop_length=hop, win_length=win, center=True,
+        window=window, return_complex=True,
+    )
+    mag2 = spec.real ** 2 + spec.imag ** 2  # [B, bins, T]
+    fb = torch.from_numpy(mel_filterbank(cfg.sample_rate, n_fft, cfg.features))
+    mel = torch.matmul(fb, mag2)
+    mel = torch.log(mel + cfg.log_zero_guard_value)
+
+    # per_feature masked normalization, torch.std is ddof=1
+    out = torch.empty_like(mel)
+    for i in range(mel.shape[0]):
+        valid = mel[i, :, : seq_len[i]]
+        mean = valid.mean(dim=1, keepdim=True)
+        std = valid.std(dim=1, keepdim=True) + 1e-5
+        out[i] = (mel[i] - mean) / std
+    t_idx = torch.arange(mel.shape[-1])[None, :] >= seq_len[:, None]
+    out = out.masked_fill(t_idx[:, None, :], 0.0)
+    return out.numpy(), seq_len.numpy()
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return MelFeatureConfig(dither=1e-5, pad_to=0)
+
+
+def test_stft_matches_torch(cfg):
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, 4000).astype(np.float32)
+    n_fft, hop, win = cfg.n_fft_, cfg.hop_length, cfg.win_length
+
+    x = np.pad(wav, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    num_frames = (x.shape[1] - n_fft) // hop + 1
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[:, idx]
+    basis = stft_basis(n_fft, win)
+    ours = frames @ basis
+    n_bins = n_fft // 2 + 1
+    ours_pow = ours[..., :n_bins] ** 2 + ours[..., n_bins:] ** 2  # [B, F, bins]
+
+    window = torch.hann_window(win, periodic=False)
+    ref = torch.stft(
+        torch.from_numpy(wav), n_fft=n_fft, hop_length=hop, win_length=win,
+        center=True, window=window, return_complex=True,
+    )
+    ref_pow = (ref.real ** 2 + ref.imag ** 2).numpy().transpose(0, 2, 1)  # [B, F, bins]
+
+    assert ours_pow.shape == ref_pow.shape
+    np.testing.assert_allclose(ours_pow, ref_pow, rtol=1e-4, atol=1e-3)
+
+
+def test_logmel_matches_reference_formulas(cfg):
+    rng = np.random.RandomState(1)
+    b, t = 3, 16000
+    wav = (rng.randn(b, t) * 0.1).astype(np.float32)
+    lengths = np.array([16000, 12345, 8000], dtype=np.int32)
+    wav[1, 12345:] = 0.0
+    wav[2, 8000:] = 0.0
+
+    ref, ref_len = torch_oracle_logmel(cfg, wav, lengths)
+    ours, ours_len = log_mel_spectrogram(cfg, wav, lengths, training=False)
+    ours = np.asarray(ours)
+
+    np.testing.assert_array_equal(np.asarray(ours_len), ref_len)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_seq_len_formula(cfg):
+    # frames = floor((len + 2*(n_fft//2) - n_fft)/hop) + 1   (features.py:369)
+    lens = np.array([160, 161, 319, 320, 16000], dtype=np.int32)
+    expected = np.floor((lens + 512 - 512) / 160) + 1
+    np.testing.assert_array_equal(np.asarray(mel_seq_len(cfg, lens)), expected.astype(np.int64))
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(16000, 512, 80)
+    assert fb.shape == (80, 257)
+    # Triangles: nonnegative, each filter has a single contiguous support.
+    assert (fb >= 0).all()
+    support = fb > 0
+    for m in range(80):
+        nz = np.flatnonzero(support[m])
+        assert nz.size > 0
+        assert np.array_equal(nz, np.arange(nz[0], nz[-1] + 1))
+    # Slaney normalization: peak amplitude decreases with center frequency in the log region.
+    peaks = fb.max(axis=1)
+    assert peaks[-1] < peaks[10]
+
+
+def test_pad_to_multiple():
+    cfg = MelFeatureConfig(pad_to=16)
+    wav = np.zeros((1, 16000), dtype=np.float32)
+    feats, _ = log_mel_spectrogram(cfg, wav, np.array([16000], dtype=np.int32))
+    assert feats.shape[-1] % 16 == 0
