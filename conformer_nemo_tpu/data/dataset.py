@@ -1,0 +1,182 @@
+"""Bucketed audio-text dataset + host-sharded loader, TPU-native.
+
+Parity targets:
+  * sample -> (audio, tokens) mapping: reference `_AudioTextDataset`
+    (`/root/reference/nemo/collections/asr/data/audio_to_text.py:218`).
+  * duration bucketing: reference bucketing dataset semantics
+    (`audio_to_text_dataset.py:374-427`): per-bucket batch-size scaling,
+    fixed_order / synced_randomized / fully_randomized chaining.
+  * rank sharding: reference shards tarred datasets by global rank
+    (`audio_to_text.py:170`); here each host keeps every
+    `process_count`-th sample (`jax.process_index()`).
+
+TPU-first difference: every emitted batch has a STATIC shape drawn from a
+small set of (audio_len, token_len) bucket shapes, so XLA compiles one
+program per bucket instead of recompiling per batch. Padding is audio zeros /
+token pad-id; true lengths ride along for masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from conformer_nemo_tpu.data.audio_io import load_audio
+from conformer_nemo_tpu.data.manifest import AudioTextSample
+
+
+@dataclasses.dataclass
+class Batch:
+    audio: np.ndarray  # [B, T] float32
+    audio_lens: np.ndarray  # [B] int32
+    tokens: np.ndarray  # [B, U] int32
+    token_lens: np.ndarray  # [B] int32
+    texts: List[str]  # reference transcripts (host-side, for WER)
+
+    @property
+    def size(self) -> int:
+        return self.audio.shape[0]
+
+
+def make_bucket_boundaries(
+    durations: Sequence[float], n_buckets: int, sample_rate: int = 16000
+) -> List[int]:
+    """Sample-count boundaries at duration quantiles, rounded up to 1600 (0.1 s)
+    multiples to cap compile count."""
+    if not durations:
+        return [16 * sample_rate]
+    qs = np.quantile(np.asarray(durations), np.linspace(1.0 / n_buckets, 1.0, n_buckets))
+    out = []
+    for q in qs:
+        samples = int(math.ceil(q * sample_rate / 1600.0)) * 1600
+        if not out or samples > out[-1]:
+            out.append(samples)
+    return out
+
+
+class BucketedAudioTextDataset:
+    """Maps manifest samples to tokenized entries grouped by duration bucket."""
+
+    def __init__(
+        self,
+        samples: List[AudioTextSample],
+        tokenizer,
+        sample_rate: int = 16000,
+        n_buckets: int = 8,
+        token_cap_per_sec: float = 8.0,
+        min_token_cap: int = 16,
+    ):
+        self.samples = samples
+        self.tokenizer = tokenizer
+        self.sample_rate = sample_rate
+        self.boundaries = make_bucket_boundaries(
+            [s.duration for s in samples], n_buckets, sample_rate
+        )
+        # token cap per bucket: proportional to duration (rounded to 8)
+        self.token_caps = [
+            max(min_token_cap, int(math.ceil(b / sample_rate * token_cap_per_sec / 8.0)) * 8)
+            for b in self.boundaries
+        ]
+        self.bucket_of: List[int] = []
+        for s in samples:
+            n = int(round(s.duration * sample_rate))
+            self.bucket_of.append(self._bucket_index(n))
+
+    def _bucket_index(self, n_samples: int) -> int:
+        for i, b in enumerate(self.boundaries):
+            if n_samples <= b:
+                return i
+        return len(self.boundaries) - 1
+
+    def encode_text(self, s: AudioTextSample):
+        if s.lang is not None and hasattr(self.tokenizer, "offsets"):
+            return self.tokenizer.text_to_ids(s.text, s.lang)
+        return self.tokenizer.text_to_ids(s.text)
+
+    def load_item(self, idx: int):
+        s = self.samples[idx]
+        audio = load_audio(
+            s.audio_file, target_sr=self.sample_rate, offset=s.offset, duration=s.duration
+        )
+        tokens = self.encode_text(s)
+        return audio, tokens, s.text
+
+
+class BucketedLoader:
+    """Epoch iterator yielding static-shape Batches, sharded across hosts."""
+
+    def __init__(
+        self,
+        dataset: BucketedAudioTextDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
+        bucketing_strategy: str = "synced_randomized",
+        pad_id: int = 0,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.bucketing_strategy = bucketing_strategy
+        self.pad_id = pad_id
+        self.epoch = 0
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.RandomState(
+            self.seed if self.bucketing_strategy == "synced_randomized" else self.seed + self.epoch
+        )
+        n = len(self.ds.samples)
+        order = np.arange(n)
+        if self.shuffle:
+            rng.shuffle(order)
+        order = order[self.process_index :: self.process_count]
+
+        # Group by bucket, emit batches per bucket as they fill.
+        pending: dict[int, list[int]] = {}
+        batches: list[tuple[int, list[int]]] = []
+        for idx in order:
+            b = self.ds.bucket_of[idx]
+            pending.setdefault(b, []).append(int(idx))
+            if len(pending[b]) == self.batch_size:
+                batches.append((b, pending.pop(b)))
+        if not self.drop_last:
+            for b, idxs in pending.items():
+                batches.append((b, idxs))
+        if self.shuffle:
+            rng.shuffle(batches)
+
+        for b, idxs in batches:
+            yield self._collate(b, idxs)
+        self.epoch += 1
+
+    def _collate(self, bucket: int, idxs: List[int]) -> Batch:
+        t_cap = self.ds.boundaries[bucket]
+        u_cap = self.ds.token_caps[bucket]
+        bsz = self.batch_size  # pad batch dim too: static shapes
+        audio = np.zeros((bsz, t_cap), dtype=np.float32)
+        audio_lens = np.zeros((bsz,), dtype=np.int32)
+        tokens = np.full((bsz, u_cap), self.pad_id, dtype=np.int32)
+        token_lens = np.zeros((bsz,), dtype=np.int32)
+        texts: List[str] = []
+        for row, idx in enumerate(idxs):
+            wav, toks, text = self.ds.load_item(idx)
+            n = min(len(wav), t_cap)
+            audio[row, :n] = wav[:n]
+            audio_lens[row] = n
+            toks = (toks or [])[:u_cap]
+            tokens[row, : len(toks)] = toks
+            token_lens[row] = len(toks)
+            texts.append(text)
+        texts.extend([""] * (bsz - len(idxs)))
+        return Batch(audio, audio_lens, tokens, token_lens, texts)

@@ -1,0 +1,343 @@
+"""Tokenizers: char, BPE/WPE, SentencePiece-model loading, aggregate multilang.
+
+Behavioral parity targets:
+  * Char path — reference `CharParser` (`/root/reference/nemo/collections/common/
+    parts/preprocessing/parsers.py:28-120`): strip + lowercase, per-word special
+    labels, unk filtering.
+  * BPE/WPE — reference wraps SentencePiece / HuggingFace WordPiece
+    (`sentencepiece_tokenizer.py`). Here the native backend is the HuggingFace
+    `tokenizers` library (BPE/WordPiece train + encode); additionally a
+    dependency-free loader reads real `tokenizer.model` SentencePiece protobufs
+    (hand-rolled wire-format parse, no sentencepiece install needed).
+  * Aggregate — reference `AggregateTokenizer` (`aggregate_tokenizer.py:37`):
+    ordered per-language sub-tokenizers with cumulative id offsets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Dict, List, Optional, Protocol
+
+
+class TokenizerSpec(Protocol):
+    @property
+    def vocab_size(self) -> int: ...
+    def text_to_ids(self, text: str) -> List[int]: ...
+    def ids_to_text(self, ids: List[int]) -> str: ...
+
+
+# ---------------------------------------------------------------------------
+# Char tokenizer (CharParser semantics)
+# ---------------------------------------------------------------------------
+
+
+class CharTokenizer:
+    """Char-level tokenizer with the reference CharParser's normalization rules."""
+
+    def __init__(
+        self,
+        labels: List[str],
+        *,
+        unk_id: int = -1,
+        blank_id: int = -1,
+        do_lowercase: bool = True,
+        do_normalize: bool = True,
+    ):
+        self.labels = list(labels)
+        self._labels_map = {label: i for i, label in enumerate(self.labels)}
+        self._special_labels = {l for l in self.labels if len(l) > 1}
+        self._unk_id = unk_id
+        self._blank_id = blank_id
+        self._do_lowercase = do_lowercase
+        self._do_normalize = do_normalize
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.labels)
+
+    def text_to_ids(self, text: str) -> Optional[List[int]]:
+        if self._do_normalize:
+            text = text.strip()
+            if self._do_lowercase:
+                text = text.lower()
+        tokens: List[int] = []
+        for word_id, word in enumerate(text.split(" ")):
+            if word_id != 0:
+                tokens.append(self._labels_map.get(" ", self._unk_id))
+            if word in self._special_labels:
+                tokens.append(self._labels_map[word])
+                continue
+            for char in word:
+                tokens.append(self._labels_map.get(char, self._unk_id))
+        return [t for t in tokens if t != self._blank_id]
+
+    def ids_to_text(self, ids: List[int]) -> str:
+        return "".join(self.labels[i] for i in ids if 0 <= i < len(self.labels))
+
+    def ids_to_tokens(self, ids: List[int]) -> List[str]:
+        return [self.labels[i] for i in ids if 0 <= i < len(self.labels)]
+
+
+# ---------------------------------------------------------------------------
+# SentencePiece model loading without the sentencepiece package
+# ---------------------------------------------------------------------------
+
+
+def _parse_protobuf_fields(buf: bytes):
+    """Minimal protobuf wire-format walker: yields (field_number, wire_type, value)."""
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:  # varint
+            val, i = _read_varint(buf, i)
+        elif wire == 1:  # 64-bit
+            val, i = buf[i : i + 8], i + 8
+        elif wire == 2:  # length-delimited
+            ln, i = _read_varint(buf, i)
+            val, i = buf[i : i + ln], i + ln
+        elif wire == 5:  # 32-bit
+            val, i = buf[i : i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _read_varint(buf: bytes, i: int):
+    shift, out = 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def load_sentencepiece_vocab(model_path: str):
+    """Parse a SentencePiece ModelProto: returns [(piece, score, type)].
+
+    ModelProto field 1 = repeated SentencePiece{piece=1:str, score=2:float,
+    type=3:enum} (types: 1=NORMAL, 2=UNK, 3=CONTROL, 4=USER_DEFINED, 6=BYTE).
+    """
+    with open(model_path, "rb") as f:
+        data = f.read()
+    pieces = []
+    for field, wire, val in _parse_protobuf_fields(data):
+        if field == 1 and wire == 2:
+            piece, score, ptype = None, 0.0, 1
+            for f2, w2, v2 in _parse_protobuf_fields(val):
+                if f2 == 1 and w2 == 2:
+                    piece = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 5:
+                    score = struct.unpack("<f", v2)[0]
+                elif f2 == 3 and w2 == 0:
+                    ptype = v2
+            if piece is not None:
+                pieces.append((piece, score, ptype))
+    return pieces
+
+
+_SP_SPACE = "▁"  # SentencePiece meta-space
+
+
+class SentencePieceTokenizer:
+    """Inference-only tokenizer over a SentencePiece BPE model file.
+
+    Encoding is Viterbi segmentation over the piece vocabulary maximizing the
+    summed piece scores — equivalent to unigram decoding and a close match for
+    BPE models (whose scores encode merge order); exact round-trip decode.
+    """
+
+    def __init__(self, model_path: str):
+        raw = load_sentencepiece_vocab(model_path)
+        self.pieces = [p for p, _, _ in raw]
+        self.scores = [s for _, s, _ in raw]
+        self.types = [t for _, _, t in raw]
+        self._piece_to_id = {p: i for i, p in enumerate(self.pieces)}
+        self.unk_id = next((i for i, t in enumerate(self.types) if t == 2), 0)
+        self._max_piece_len = max((len(p) for p in self.pieces), default=1)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.pieces)
+
+    @property
+    def vocab(self) -> List[str]:
+        return list(self.pieces)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        s = _SP_SPACE + text.replace(" ", _SP_SPACE)
+        n = len(s)
+        NEG = -1e18
+        best = [NEG] * (n + 1)
+        back: List[Optional[tuple]] = [None] * (n + 1)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] <= NEG / 2:
+                continue
+            hi = min(n, i + self._max_piece_len)
+            for j in range(i + 1, hi + 1):
+                pid = self._piece_to_id.get(s[i:j])
+                if pid is None:
+                    if j == i + 1:  # single char fallback -> unk
+                        sc = best[i] - 100.0
+                        if sc > best[j]:
+                            best[j], back[j] = sc, (i, self.unk_id)
+                    continue
+                sc = best[i] + self.scores[pid]
+                if sc > best[j]:
+                    best[j], back[j] = sc, (i, pid)
+        ids: List[int] = []
+        j = n
+        while j > 0:
+            i, pid = back[j]
+            ids.append(pid)
+            j = i
+        return ids[::-1]
+
+    def ids_to_text(self, ids: List[int]) -> str:
+        text = "".join(self.pieces[i] for i in ids if 0 <= i < len(self.pieces))
+        return text.replace(_SP_SPACE, " ").strip()
+
+    def ids_to_tokens(self, ids: List[int]) -> List[str]:
+        return [self.pieces[i] for i in ids if 0 <= i < len(self.pieces)]
+
+
+class HFTokenizer:
+    """BPE/WordPiece via the HuggingFace `tokenizers` library (native Rust core).
+
+    Used both for loading trained `tokenizer.json` files and as the training
+    backend (see `train_bpe_tokenizer`). This is the 'wpe'/'bpe' analogue of the
+    reference's tokenizer dir contract (configs/conformer_ctc_bpe.yaml:76-78).
+    """
+
+    def __init__(self, tokenizer_file: str):
+        from tokenizers import Tokenizer
+
+        self._tok = Tokenizer.from_file(tokenizer_file)
+
+    @property
+    def vocab_size(self) -> int:
+        return self._tok.get_vocab_size()
+
+    @property
+    def vocab(self) -> List[str]:
+        v = self._tok.get_vocab()
+        out = [""] * len(v)
+        for tok, i in v.items():
+            out[i] = tok
+        return out
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return self._tok.encode(text).ids
+
+    def ids_to_text(self, ids: List[int]) -> str:
+        return self._tok.decode(ids)
+
+    def ids_to_tokens(self, ids: List[int]) -> List[str]:
+        v = self.vocab
+        return [v[i] for i in ids if 0 <= i < len(v)]
+
+
+def train_bpe_tokenizer(
+    texts, vocab_size: int, out_path: str, lowercase: bool = True
+) -> "HFTokenizer":
+    """Train a byte-level BPE tokenizer on an iterable of transcripts."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers, decoders, normalizers
+
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    norms = [normalizers.NFKC()]
+    if lowercase:
+        norms.append(normalizers.Lowercase())
+    tok.normalizer = normalizers.Sequence(norms)
+    tok.pre_tokenizer = pre_tokenizers.Metaspace()
+    tok.decoder = decoders.Metaspace()
+    trainer = trainers.BpeTrainer(vocab_size=vocab_size, special_tokens=["<unk>"])
+    tok.train_from_iterator(texts, trainer)
+    tok.save(out_path)
+    return HFTokenizer(out_path)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate (multilang) tokenizer
+# ---------------------------------------------------------------------------
+
+
+class AggregateTokenizer:
+    """Ordered dict of per-language tokenizers with cumulative id offsets.
+
+    Parity: reference AggregateTokenizer (aggregate_tokenizer.py:37) — token id
+    spaces of the languages are concatenated in config order; ids_to_text
+    routes each id back to its owning language tokenizer.
+    """
+
+    def __init__(self, tokenizers_by_lang: Dict[str, TokenizerSpec]):
+        self.langs = list(tokenizers_by_lang.keys())
+        self.tokenizers = tokenizers_by_lang
+        self.offsets: Dict[str, int] = {}
+        off = 0
+        for lang in self.langs:
+            self.offsets[lang] = off
+            off += tokenizers_by_lang[lang].vocab_size
+        self._total = off
+
+    @property
+    def vocab_size(self) -> int:
+        return self._total
+
+    def text_to_ids(self, text: str, lang: str) -> List[int]:
+        off = self.offsets[lang]
+        return [i + off for i in self.tokenizers[lang].text_to_ids(text)]
+
+    def _owner(self, idx: int):
+        for lang in reversed(self.langs):
+            if idx >= self.offsets[lang]:
+                return lang, idx - self.offsets[lang]
+        raise ValueError(f"id {idx} out of range")
+
+    def ids_to_text(self, ids: List[int]) -> str:
+        # Group consecutive ids by owning language, decode per group.
+        out, group, cur_lang = [], [], None
+        for idx in ids:
+            lang, local = self._owner(idx)
+            if lang != cur_lang and group:
+                out.append(self.tokenizers[cur_lang].ids_to_text(group))
+                group = []
+            cur_lang = lang
+            group.append(local)
+        if group:
+            out.append(self.tokenizers[cur_lang].ids_to_text(group))
+        return " ".join(t for t in out if t)
+
+
+def build_tokenizer(cfg: dict):
+    """Tokenizer factory from a reference-shaped config dict.
+
+    {'type': 'bpe'|'wpe', 'dir': ...} or {'type': 'agg', 'langs': {id: {dir,type}}}
+    or {'labels': [...]} for char (mirrors ASRBPEMixin._setup_tokenizer,
+    mixins.py:49, and the char-model `labels` list).
+    """
+    if "labels" in cfg:
+        return CharTokenizer(cfg["labels"])
+    ttype = cfg.get("type", "bpe")
+    if ttype == "agg":
+        subs = {
+            lang: build_tokenizer(sub_cfg) for lang, sub_cfg in cfg["langs"].items()
+        }
+        return AggregateTokenizer(subs)
+    d = cfg["dir"]
+    hf_json = os.path.join(d, "tokenizer.json")
+    sp_model = os.path.join(d, "tokenizer.model")
+    if os.path.exists(hf_json):
+        return HFTokenizer(hf_json)
+    if os.path.exists(sp_model):
+        return SentencePieceTokenizer(sp_model)
+    vocab_txt = os.path.join(d, "vocab.txt")
+    if os.path.exists(vocab_txt):
+        with open(vocab_txt, encoding="utf-8") as f:
+            labels = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        return CharTokenizer(labels, do_lowercase=False)
+    raise FileNotFoundError(f"no tokenizer artifacts found in {d}")

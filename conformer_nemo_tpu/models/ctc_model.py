@@ -1,0 +1,115 @@
+"""Conformer-CTC model: frontend + encoder + 1x1 decoder head + loss/decode glue.
+
+Parity target: reference `EncDecCTCModel`
+(`/root/reference/nemo/collections/asr/models/ctc_models.py:40`) with
+`ConvASRDecoder` head (`conv_asr.py:398-471`): encoder output [B, D, T'] ->
+pointwise projection to V+1 classes -> log_softmax, blank id = V.
+
+TPU-first: the whole forward (wav -> log-probs) is one pure jitted function;
+the 1x1 Conv1d is a Dense over the channel axis (identical math, MXU-shaped).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from conformer_nemo_tpu.audio.features import MelFeatureConfig, log_mel_spectrogram
+from conformer_nemo_tpu.audio.spec_augment import (
+    SpecAugmentConfig,
+    apply_spectrogram_augmentation,
+)
+from conformer_nemo_tpu.models.conformer import ConformerEncoder, ConformerEncoderConfig
+from conformer_nemo_tpu.ops.ctc_loss import ctc_forward_neg_log_likelihood
+
+
+@dataclasses.dataclass(frozen=True)
+class CTCModelConfig:
+    preprocessor: MelFeatureConfig = MelFeatureConfig()
+    spec_augment: SpecAugmentConfig = SpecAugmentConfig()
+    encoder: ConformerEncoderConfig = ConformerEncoderConfig()
+    num_classes: int = 128  # vocabulary size V; blank id = V
+    ctc_reduction: str = "mean_batch"
+
+    @property
+    def blank_id(self) -> int:
+        return self.num_classes
+
+
+class CTCDecoderHead(nn.Module):
+    """1x1 projection to V+1 log-probs (ConvASRDecoder parity)."""
+
+    num_classes: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, encoded: jnp.ndarray) -> jnp.ndarray:
+        # encoded: [B, D, T] -> [B, T, V+1] log-probs
+        x = jnp.swapaxes(encoded, 1, 2)
+        logits = nn.Dense(
+            self.num_classes + 1, dtype=self.dtype, param_dtype=jnp.float32,
+            name="decoder_layers",
+        )(x)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+class CTCModel(nn.Module):
+    """encoder + head; features/augment run outside (parameter-free)."""
+
+    cfg: CTCModelConfig
+
+    @nn.compact
+    def __call__(self, features, feat_lengths, *, train: bool = False):
+        encoded, enc_lengths = ConformerEncoder(self.cfg.encoder, name="encoder")(
+            features, feat_lengths, train=train
+        )
+        log_probs = CTCDecoderHead(
+            self.cfg.num_classes, dtype=self.cfg.encoder.dtype, name="decoder"
+        )(encoded)
+        return log_probs, enc_lengths
+
+
+def ctc_forward(
+    cfg: CTCModelConfig,
+    variables,
+    audio: jnp.ndarray,
+    audio_lens: jnp.ndarray,
+    *,
+    train: bool = False,
+    rngs: Optional[dict] = None,
+    mutable=False,
+):
+    """wav [B, T] -> (log_probs [B, T', V+1], enc_lengths [B])."""
+    feat_rng = rngs.pop("features", None) if rngs else None
+    aug_rng = rngs.pop("spec_augment", None) if rngs else None
+    feats, feat_lens = log_mel_spectrogram(
+        cfg.preprocessor, audio, audio_lens, rng=feat_rng, training=train
+    )
+    if train and cfg.spec_augment.enabled and aug_rng is not None:
+        feats = apply_spectrogram_augmentation(cfg.spec_augment, aug_rng, feats, feat_lens)
+    model = CTCModel(cfg)
+    return model.apply(
+        variables, feats, feat_lens, train=train, rngs=rngs or None, mutable=mutable
+    )
+
+
+def ctc_model_loss(
+    cfg: CTCModelConfig,
+    log_probs: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    tokens: jnp.ndarray,
+    token_lens: jnp.ndarray,
+    sample_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """mean-batch CTC loss over valid (non-padding-row) samples."""
+    nll = ctc_forward_neg_log_likelihood(
+        log_probs, tokens, enc_lengths, token_lens, cfg.blank_id
+    )
+    if sample_weight is None:
+        return jnp.mean(nll)
+    w = sample_weight.astype(nll.dtype)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)

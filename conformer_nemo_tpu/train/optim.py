@@ -1,0 +1,41 @@
+"""Optimizer factory (optax).
+
+Parity target: reference `get_optimizer` registry
+(`/root/reference/nemo/core/optim/optimizers.py:161`) — adam/adamw/sgd/
+novograd/adafactor — consumed from `cfg.optim` the way
+`ModelPT.setup_optimization` does (modelPT.py:428).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import optax
+
+
+def make_optimizer(
+    name: str,
+    lr_schedule: Callable,
+    *,
+    weight_decay: float = 0.0,
+    betas: tuple = (0.9, 0.98),
+    eps: float = 1e-8,
+    momentum: float = 0.9,
+    grad_clip: Optional[float] = None,
+) -> optax.GradientTransformation:
+    name = name.lower()
+    if name == "adamw":
+        opt = optax.adamw(lr_schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+    elif name == "adam":
+        opt = optax.adam(lr_schedule, b1=betas[0], b2=betas[1], eps=eps)
+    elif name == "sgd":
+        opt = optax.sgd(lr_schedule, momentum=momentum)
+    elif name == "novograd":
+        opt = optax.novograd(lr_schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+    elif name == "adafactor":
+        opt = optax.adafactor(lr_schedule)
+    else:
+        raise ValueError(f"unknown optimizer {name}")
+    if grad_clip and grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
