@@ -20,7 +20,7 @@ BATCH = 16
 SECONDS = 15.0  # per-utterance duration
 SR = 16000
 WARMUP = 3
-ITERS = 10
+ITERS = 20
 
 
 def main():
@@ -51,12 +51,13 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # value fetch: block_until_ready does not truly
+    # synchronize through the axon tunnel; fetching a scalar does.
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # forces the whole dependency chain
     dt = time.perf_counter() - t0
 
     audio_s_per_s = BATCH * SECONDS * ITERS / dt

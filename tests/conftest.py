@@ -1,11 +1,13 @@
 """Test harness: run everything on a virtual 8-device CPU backend.
 
-Must set env vars before jax is imported anywhere in the test process.
+Env vars must be set before jax import; the axon TPU plugin additionally
+installs itself programmatically via sitecustomize, so we also force the
+platform through jax.config after import.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may pin a TPU platform
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -13,3 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
