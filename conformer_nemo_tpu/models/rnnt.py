@@ -1,0 +1,294 @@
+"""RNN-T prediction network + joint + full transducer model, TPU-native.
+
+Behavioral parity targets (`/root/reference/nemo/collections/asr/modules/rnnt.py`):
+  * RNNTDecoder (:51): Embedding(V+1, pred_hidden) with `blank_as_pad` — the
+    blank id doubles as padding and embeds to zeros, so SOS (= blank) priming
+    is a zero vector; LSTM stack (`pred_rnn_layers`); stateful single-step
+    `predict` for decoding (:190) with batch state select/copy utilities
+    (:502-611).
+  * RNNTJoint (:613): split projections enc->H, pred->H, broadcast add
+    [B,T,1,H] + [B,1,U,H] -> activation -> Linear(H -> V+1) (:951-1008); the
+    fused joint+loss sub-batch path (:792-949) is realized here as a
+    `lax.map` over batch chunks so peak memory is the chunk's [b,T,U,V]
+    while XLA still pipelines chunks.
+
+TPU-first: the LSTM is a `lax.scan` over flax LSTMCells (cuDNN has no role);
+the joint's broadcast-add + activation + output matmul is left to XLA to
+fuse (one big MXU matmul per chunk); lattice math stays fp32 while matmuls
+run in the configured compute dtype.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from conformer_nemo_tpu.models.conformer import ConformerEncoder, ConformerEncoderConfig
+from conformer_nemo_tpu.ops.rnnt_loss import rnnt_loss_from_logits
+
+
+@dataclasses.dataclass(frozen=True)
+class RNNTDecoderConfig:
+    """Schema mirror of reference decoder/prednet config
+    (configs/conformer_transducer_bpe.yaml decoder section)."""
+
+    vocab_size: int = 128  # V (blank = V)
+    pred_hidden: int = 640
+    pred_rnn_layers: int = 1
+    dropout: float = 0.1
+    blank_as_pad: bool = True
+    dtype: Any = jnp.bfloat16
+
+
+@dataclasses.dataclass(frozen=True)
+class RNNTJointConfig:
+    """Schema mirror of reference joint config (jointnet section)."""
+
+    joint_hidden: int = 640
+    activation: str = "relu"
+    dropout: float = 0.1
+    fuse_loss_wer: bool = True
+    fused_batch_size: int = 16
+    dtype: Any = jnp.bfloat16
+
+
+@dataclasses.dataclass(frozen=True)
+class RNNTModelConfig:
+    encoder: ConformerEncoderConfig = ConformerEncoderConfig(n_layers=17)
+    decoder: RNNTDecoderConfig = RNNTDecoderConfig()
+    joint: RNNTJointConfig = RNNTJointConfig()
+    fastemit_lambda: float = 0.0
+    clamp: float = -1.0
+
+    @property
+    def blank_id(self) -> int:
+        return self.decoder.vocab_size
+
+    @property
+    def num_classes_with_blank(self) -> int:
+        return self.decoder.vocab_size + 1
+
+
+class PredictionNetwork(nn.Module):
+    """Embedding + LSTM stack with explicit cell math (no cuDNN analogue).
+
+    Call patterns:
+      full sequence: (targets [B, U]) -> g [B, U+1, H] including the SOS step
+        (g[:, 0] is the output after consuming only SOS = blank = zero embed).
+      single step: step(last_label [B], state) -> (g [B, H], new_state).
+
+    The sequence path is a `lax.scan` over time with the whole batch
+    vectorized per step (4H-wide fused gate matmuls on the MXU); the decode
+    path reuses the identical cell so training and decoding share parameters
+    and state layout (state = (h, c) each [L, B, H] fp32).
+    """
+
+    cfg: RNNTDecoderConfig
+
+    def setup(self):
+        cfg = self.cfg
+        h = cfg.pred_hidden
+        # +1 for blank; blank row zeroed at lookup when blank_as_pad
+        # (reference Embedding(..., padding_idx=blank), rnnt.py:111-117).
+        self.embed = nn.Embed(
+            cfg.vocab_size + 1, h, dtype=cfg.dtype, param_dtype=jnp.float32,
+            name="embed",
+        )
+        wx, wh, b = [], [], []
+        for i in range(cfg.pred_rnn_layers):
+            wx.append(self.param(f"lstm{i}_wx", nn.initializers.xavier_uniform(), (h, 4 * h), jnp.float32))
+            wh.append(self.param(f"lstm{i}_wh", nn.initializers.orthogonal(), (h, 4 * h), jnp.float32))
+            b.append(self.param(f"lstm{i}_b", nn.initializers.zeros, (4 * h,), jnp.float32))
+        self.wx, self.wh, self.b = wx, wh, b
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def _embed(self, labels: jnp.ndarray) -> jnp.ndarray:
+        emb = self.embed(jnp.clip(labels, 0, self.cfg.vocab_size))
+        if self.cfg.blank_as_pad:
+            emb = jnp.where((labels == self.cfg.vocab_size)[..., None], 0.0, emb)
+        return emb
+
+    def zero_state(self, batch: int):
+        h = jnp.zeros((self.cfg.pred_rnn_layers, batch, self.cfg.pred_hidden), jnp.float32)
+        return (h, jnp.zeros_like(h))
+
+    def _cell(self, layer: int, x, h, c):
+        """Standard LSTM cell, fp32 state, forget-gate bias +1."""
+        dt = self.cfg.dtype
+        z = (
+            jnp.dot(x.astype(dt), self.wx[layer].astype(dt))
+            + jnp.dot(h.astype(dt), self.wh[layer].astype(dt))
+        ).astype(jnp.float32) + self.b[layer]
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        return new_h, new_c
+
+    def __call__(self, targets: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        """targets [B, U] -> g [B, U+1, H]; SOS (blank) prepended."""
+        b, _ = targets.shape
+        sos = jnp.full((b, 1), self.cfg.vocab_size, dtype=targets.dtype)
+        labels = jnp.concatenate([sos, targets], axis=1)  # [B, U+1]
+        x = self._embed(labels)  # [B, U+1, H]
+
+        for layer in range(self.cfg.pred_rnn_layers):
+            h0 = jnp.zeros((b, self.cfg.pred_hidden), jnp.float32)
+
+            def step_fn(carry, x_t, _layer=layer):
+                h, c = carry
+                h, c = self._cell(_layer, x_t, h, c)
+                return (h, c), h
+
+            _, ys = jax.lax.scan(step_fn, (h0, h0), jnp.swapaxes(x, 0, 1))
+            x = jnp.swapaxes(ys, 0, 1)  # [B, U+1, H]
+            if layer < self.cfg.pred_rnn_layers - 1:
+                # inter-layer dropout only (torch LSTM semantics)
+                x = self.drop(x, deterministic=deterministic)
+        return x
+
+    def step(self, last_label: jnp.ndarray, state):
+        """Decode step: last_label [B] -> (g [B, H], new_state)."""
+        x = self._embed(last_label[:, None])[:, 0]  # [B, H]
+        h_all, c_all = state
+        new_h, new_c = [], []
+        for layer in range(self.cfg.pred_rnn_layers):
+            h, c = self._cell(layer, x, h_all[layer], c_all[layer])
+            new_h.append(h)
+            new_c.append(c)
+            x = h
+        return x, (jnp.stack(new_h), jnp.stack(new_c))
+
+
+class RNNTJoint(nn.Module):
+    """Split projections + broadcast add + act + output projection.
+
+    Params are explicit (self.param) so the combine step is pure jnp and can
+    run inside lax.map for the fused sub-batch path.
+    """
+
+    cfg: RNNTJointConfig
+    num_classes_with_blank: int
+
+    def setup(self):
+        cfg = self.cfg
+        self.enc_proj = nn.Dense(
+            cfg.joint_hidden, dtype=cfg.dtype, param_dtype=jnp.float32, name="enc"
+        )
+        self.pred_proj = nn.Dense(
+            cfg.joint_hidden, dtype=cfg.dtype, param_dtype=jnp.float32, name="pred"
+        )
+        self.out_kernel = self.param(
+            "out_kernel",
+            nn.initializers.lecun_normal(),
+            (cfg.joint_hidden, self.num_classes_with_blank),
+            jnp.float32,
+        )
+        self.out_bias = self.param(
+            "out_bias", nn.initializers.zeros, (self.num_classes_with_blank,), jnp.float32
+        )
+
+    def __call__(self, enc: jnp.ndarray, pred: jnp.ndarray, *, deterministic: bool = True):
+        """enc [B, T, De] (or [B, De]), pred [B, U, Dp] (or [B, Dp]) ->
+        logits [B, T, U, V+1] (or [B, V+1] for single-step decode)."""
+        e, p = self.project(enc, pred)
+        if e.ndim == 3 and p.ndim == 3:
+            x = e[:, :, None, :] + p[:, None, :, :]
+        else:
+            x = e + p
+        return self.combine_fn(deterministic=deterministic)(x)
+
+    def project(self, enc, pred):
+        return self.enc_proj(enc), self.pred_proj(pred)
+
+    def combine_fn(self, *, deterministic: bool = True):
+        """Returns a PURE function (h -> logits) capturing concrete params +
+        dropout rng, safe to call inside lax control flow."""
+        cfg = self.cfg
+        kernel, bias = self.out_kernel, self.out_bias
+        rng = None
+        if not deterministic and cfg.dropout > 0:
+            rng = self.make_rng("dropout")
+
+        def fn(x):
+            if cfg.activation == "relu":
+                x = nn.relu(x)
+            elif cfg.activation == "sigmoid":
+                x = nn.sigmoid(x)
+            else:
+                x = nn.tanh(x)
+            if rng is not None:
+                keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, x.shape)
+                x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+            return jnp.dot(x.astype(cfg.dtype), kernel.astype(cfg.dtype)) + bias.astype(cfg.dtype)
+
+        return fn
+
+
+class RNNTModel(nn.Module):
+    """Encoder + prediction network + joint. Forward returns what training
+    needs; decode-time pieces are exposed via apply(method=...)."""
+
+    cfg: RNNTModelConfig
+
+    def setup(self):
+        self.encoder = ConformerEncoder(self.cfg.encoder, name="encoder")
+        self.prednet = PredictionNetwork(self.cfg.decoder, name="decoder")
+        self.joint = RNNTJoint(
+            self.cfg.joint, self.cfg.num_classes_with_blank, name="joint"
+        )
+
+    def encode(self, features, feat_lengths, *, train: bool = False):
+        encoded, enc_lens = self.encoder(features, feat_lengths, train=train)
+        return jnp.swapaxes(encoded, 1, 2), enc_lens  # [B, T, D]
+
+    def predict(self, targets, *, train: bool = False):
+        return self.prednet(targets, deterministic=not train)
+
+    def predict_step(self, last_label, state):
+        return self.prednet.step(last_label, state)
+
+    def joint_step(self, enc_t, pred_g):
+        return self.joint(enc_t, pred_g, deterministic=True)
+
+    def decoder_zero_state(self, batch: int):
+        return self.prednet.zero_state(batch)
+
+    def __call__(self, features, feat_lengths, targets, target_lengths, *, train: bool = False):
+        """Full training forward -> per-sample RNN-T nll [B]."""
+        enc, enc_lens = self.encode(features, feat_lengths, train=train)  # [B, T, D]
+        g = self.predict(targets, train=train)  # [B, U+1, H]
+
+        cfg = self.cfg
+        fused_bs = cfg.joint.fused_batch_size
+        b = enc.shape[0]
+        if cfg.joint.fuse_loss_wer and fused_bs > 0 and b > fused_bs and b % fused_bs == 0:
+            # Sub-batch the [b, T, U, V] joint materialization (reference
+            # fused path, rnnt.py:839): project once (cheap, [B,T,H]/[B,U,H]),
+            # then lax.map a PURE combine+loss over batch chunks so peak
+            # memory is one chunk's [b,T,U,V] while XLA pipelines chunks.
+            e, p = self.joint.project(enc, g)
+            combine = self.joint.combine_fn(deterministic=not train)
+
+            def chunk_loss(args):
+                e_c, p_c, el_c, tg_c, tl_c = args
+                logits = combine(e_c[:, :, None, :] + p_c[:, None, :, :])
+                return rnnt_loss_from_logits(
+                    logits, tg_c, el_c, tl_c, cfg.blank_id, cfg.fastemit_lambda, cfg.clamp
+                )
+
+            n_chunks = b // fused_bs
+            resh = lambda x: x.reshape((n_chunks, fused_bs) + x.shape[1:])
+            nll = jax.lax.map(
+                chunk_loss,
+                (resh(e), resh(p), resh(enc_lens), resh(targets), resh(target_lengths)),
+            )
+            return nll.reshape(b)
+        logits = self.joint(enc, g, deterministic=not train)
+        return rnnt_loss_from_logits(
+            logits, targets, enc_lens, target_lengths, cfg.blank_id,
+            cfg.fastemit_lambda, cfg.clamp,
+        )
