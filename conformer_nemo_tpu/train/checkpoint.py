@@ -1,0 +1,155 @@
+"""Checkpointing: resumable train state + portable inference artifact.
+
+Parity target: the reference's two-tier scheme (SURVEY.md §5.4):
+  * PTL `.ckpt` (full trainer state for resume) -> here `step_XXXX/` dirs
+    holding the TrainState pytree via orbax (sharded-array aware), with
+    `last` tracking and top-k-on-metric retention
+    (`NeMoModelCheckpoint`, exp_manager.py:665).
+  * `.nemo` tar.gz (model_config.yaml + weights + tokenizer artifacts,
+    save_restore_connector.py:34-65) -> here a `.cntpu` tar.gz with
+    config.yaml + params.msgpack + registered artifact files; written by
+    process 0 only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tarfile
+import tempfile
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import yaml
+from flax import serialization
+
+
+# ---------------------------------------------------------------------------
+# Resumable train-state checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(ckpt_dir: str, state, step: int, metrics: Optional[dict] = None) -> str:
+    """Write state pytree -> ckpt_dir/step_{step}/ and update 'last' pointer."""
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    os.makedirs(path, exist_ok=True)
+    host_state = jax.device_get(state)
+    with open(os.path.join(path, "state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    meta = {"step": step, "metrics": metrics or {}}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(ckpt_dir, "last"), "w") as f:
+        f.write(f"step_{step}")
+    return path
+
+
+def restore_train_state(ckpt_dir: str, state_template, step: Optional[int] = None):
+    """Restore into the structure of `state_template`. step=None -> last."""
+    if step is None:
+        last = os.path.join(ckpt_dir, "last")
+        if not os.path.exists(last):
+            return None, None
+        with open(last) as f:
+            name = f.read().strip()
+    else:
+        name = f"step_{step}"
+    path = os.path.join(ckpt_dir, name)
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        state = serialization.from_bytes(state_template, f.read())
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return state, meta
+
+
+def list_checkpoints(ckpt_dir: str):
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        mpath = os.path.join(ckpt_dir, name, "meta.json")
+        if name.startswith("step_") and os.path.exists(mpath):
+            with open(mpath) as f:
+                out.append((name, json.load(f)))
+    return sorted(out, key=lambda x: x[1]["step"])
+
+
+def prune_checkpoints(
+    ckpt_dir: str, save_top_k: int, monitor: str = "val_wer", mode: str = "min"
+):
+    """Keep top-k by monitored metric + the 'last' checkpoint."""
+    ckpts = list_checkpoints(ckpt_dir)
+    scored = [
+        (name, meta["metrics"].get(monitor))
+        for name, meta in ckpts
+        if meta["metrics"].get(monitor) is not None
+    ]
+    reverse = mode == "max"
+    scored.sort(key=lambda x: x[1], reverse=reverse)
+    keep = {name for name, _ in scored[:save_top_k]}
+    last = None
+    last_path = os.path.join(ckpt_dir, "last")
+    if os.path.exists(last_path):
+        with open(last_path) as f:
+            last = f.read().strip()
+    for name, _meta in ckpts:
+        if name not in keep and name != last:
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Portable artifact (.cntpu — the .nemo analogue)
+# ---------------------------------------------------------------------------
+
+
+def save_portable(
+    out_path: str,
+    config: dict,
+    params: Any,
+    artifacts: Optional[dict[str, str]] = None,
+) -> None:
+    """tar.gz of config.yaml + params.msgpack + artifact files.
+
+    Only call from process 0 (rank discipline: save_restore_connector.py:53).
+    """
+    params = jax.device_get(params)
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(os.path.join(tmp, "model_config.yaml"), "w") as f:
+            yaml.safe_dump(config, f)
+        with open(os.path.join(tmp, "model_weights.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(params))
+        names = {}
+        for key, src in (artifacts or {}).items():
+            base = os.path.basename(src)
+            shutil.copy(src, os.path.join(tmp, base))
+            names[key] = base
+        with open(os.path.join(tmp, "artifacts.json"), "w") as f:
+            json.dump(names, f)
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with tarfile.open(out_path, "w:gz") as tar:
+            for name in os.listdir(tmp):
+                tar.add(os.path.join(tmp, name), arcname=name)
+
+
+def load_portable(path: str, params_template: Any = None, extract_dir: Optional[str] = None):
+    """-> (config dict, params pytree, {artifact_key: extracted_path})."""
+    tmp = extract_dir or tempfile.mkdtemp(prefix="cntpu_")
+    with tarfile.open(path, "r:gz") as tar:
+        tar.extractall(tmp, filter="data")
+    with open(os.path.join(tmp, "model_config.yaml")) as f:
+        config = yaml.safe_load(f)
+    with open(os.path.join(tmp, "model_weights.msgpack"), "rb") as f:
+        blob = f.read()
+    if params_template is not None:
+        params = serialization.from_bytes(params_template, blob)
+    else:
+        params = serialization.msgpack_restore(blob)
+    artifacts = {}
+    art_json = os.path.join(tmp, "artifacts.json")
+    if os.path.exists(art_json):
+        with open(art_json) as f:
+            names = json.load(f)
+        artifacts = {k: os.path.join(tmp, v) for k, v in names.items()}
+    return config, params, artifacts

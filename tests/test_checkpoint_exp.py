@@ -1,0 +1,94 @@
+"""Checkpoint save/restore, top-k pruning, portable artifact, exp manager."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conformer_nemo_tpu.train.checkpoint import (
+    list_checkpoints,
+    load_portable,
+    prune_checkpoints,
+    restore_train_state,
+    save_portable,
+    save_train_state,
+)
+from conformer_nemo_tpu.train.exp_manager import ExpManagerConfig, ExperimentManager
+
+
+def make_state(seed=0):
+    from conformer_nemo_tpu.models.conformer import ConformerEncoderConfig
+    from conformer_nemo_tpu.models.ctc_model import CTCModelConfig
+    from conformer_nemo_tpu.audio.features import MelFeatureConfig
+    from conformer_nemo_tpu.train.lr_schedule import make_lr_schedule
+    from conformer_nemo_tpu.train.optim import make_optimizer
+    from conformer_nemo_tpu.train.trainer import init_ctc_state
+
+    cfg = CTCModelConfig(
+        preprocessor=MelFeatureConfig(features=16),
+        encoder=ConformerEncoderConfig(
+            feat_in=16, n_layers=1, d_model=16, n_heads=2, conv_kernel_size=7,
+            conv_norm_type="layer_norm", dtype=jnp.float32,
+        ),
+        num_classes=4,
+    )
+    sched = make_lr_schedule({"name": "NoamAnnealing", "d_model": 16, "warmup_steps": 10}, 0.1)
+    opt = make_optimizer("adamw", sched)
+    return cfg, opt, init_ctc_state(cfg, opt, jax.random.PRNGKey(seed), (1, 16, 32))
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg, opt, state = make_state()
+    d = str(tmp_path / "ckpts")
+    save_train_state(d, state, 10, {"val_wer": 0.5})
+    cfg2, opt2, template = make_state(seed=1)
+    restored, meta = restore_train_state(d, template)
+    assert meta["step"] == 10
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_topk_pruning(tmp_path):
+    cfg, opt, state = make_state()
+    d = str(tmp_path / "ckpts")
+    for step, wer in [(1, 0.9), (2, 0.5), (3, 0.7), (4, 0.4), (5, 0.8)]:
+        save_train_state(d, state, step, {"val_wer": wer})
+    prune_checkpoints(d, save_top_k=2, monitor="val_wer", mode="min")
+    names = [n for n, _ in list_checkpoints(d)]
+    # top-2 by wer: step_4 (0.4), step_2 (0.5); plus last (step_5)
+    assert set(names) == {"step_2", "step_4", "step_5"}
+
+
+def test_portable_artifact_roundtrip(tmp_path):
+    cfg, opt, state = make_state()
+    art = str(tmp_path / "tokenizer.json")
+    with open(art, "w") as f:
+        f.write("{}")
+    out = str(tmp_path / "model.cntpu")
+    save_portable(out, {"name": "test", "d_model": 16}, state.params, {"tokenizer": art})
+    config, params, artifacts = load_portable(out, state.params)
+    assert config["d_model"] == 16
+    assert os.path.exists(artifacts["tokenizer"])
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_exp_manager_resume(tmp_path):
+    cfg, opt, state = make_state()
+    mcfg = ExpManagerConfig(exp_dir=str(tmp_path / "exp"), name="run", save_top_k=2)
+    em = ExperimentManager(mcfg)
+    em.logger.log(1, loss=2.0)
+    em.save(state, 1, {"val_wer": 0.3})
+    assert os.path.exists(os.path.join(em.run_dir, "metrics.jsonl"))
+
+    mcfg2 = ExpManagerConfig(
+        exp_dir=str(tmp_path / "exp"), name="run", resume_if_exists=True
+    )
+    em2 = ExperimentManager(mcfg2)
+    assert em2.run_dir == em.run_dir
+    _, _, template = make_state(seed=2)
+    restored, meta = em2.maybe_resume(template)
+    assert meta["step"] == 1
