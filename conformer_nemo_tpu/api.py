@@ -1,0 +1,376 @@
+"""High-level user API: build / fit / transcribe / save / restore.
+
+Parity target: the reference's user-facing object model (`ModelPT`,
+`/root/reference/nemo/core/classes/modelPT.py` + `EncDecCTCModel.transcribe`,
+ctc_models.py:215-318):
+
+    model = ConformerCTC.from_config_file("configs/conformer_ctc_bpe.yaml",
+                                          tokenizer_dir=...)
+    model.fit(train_manifest, val_manifest)
+    hyps = model.transcribe(["a.wav", "b.wav"])
+    model.save_portable("model.cntpu")
+    model = ConformerCTC.restore_portable("model.cntpu")
+
+The torch Lightning trainer/DDP plumbing is replaced by jitted sharded steps
+over a jax Mesh; everything host-side (manifests, tokenizers, WER) is plain
+Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conformer_nemo_tpu.audio.features import MelFeatureConfig
+from conformer_nemo_tpu.audio.spec_augment import SpecAugmentConfig
+from conformer_nemo_tpu.config.loader import (
+    build_ctc_model_config,
+    build_encoder_config,
+    build_preprocessor_config,
+    build_spec_augment_config,
+    load_config,
+)
+from conformer_nemo_tpu.data.dataset import Batch, BucketedAudioTextDataset, BucketedLoader
+from conformer_nemo_tpu.data.manifest import read_manifest
+from conformer_nemo_tpu.data.tokenizers import CharTokenizer, build_tokenizer
+from conformer_nemo_tpu.data.audio_io import load_audio
+from conformer_nemo_tpu.models.ctc_model import CTCModelConfig
+from conformer_nemo_tpu.models.rnnt import (
+    RNNTDecoderConfig,
+    RNNTJointConfig,
+    RNNTModelConfig,
+)
+from conformer_nemo_tpu.parallel.mesh import make_mesh, shard_batch
+from conformer_nemo_tpu.train.exp_manager import ExpManagerConfig, ExperimentManager
+from conformer_nemo_tpu.train.lr_schedule import make_lr_schedule
+from conformer_nemo_tpu.train.optim import make_optimizer
+from conformer_nemo_tpu.train.checkpoint import load_portable, save_portable
+
+
+def _batch_dict(batch: Batch):
+    return {
+        "audio": batch.audio, "audio_lens": batch.audio_lens,
+        "tokens": batch.tokens, "token_lens": batch.token_lens,
+    }
+
+
+class _BaseASRModel:
+    """Shared fit/transcribe scaffolding for CTC and RNNT models."""
+
+    def __init__(self, raw_cfg: dict, tokenizer):
+        self.raw_cfg = raw_cfg
+        self.tokenizer = tokenizer
+        self.state = None
+        self._mesh = None
+
+    # -- subclass contract -------------------------------------------------
+    def _make_optimizer(self):
+        m = self.raw_cfg["model"]
+        ocfg = m.get("optim", {"name": "adamw", "lr": 1.0})
+        sched_cfg = dict(ocfg.get("sched", {"name": "NoamAnnealing", "d_model": 256, "warmup_steps": 1000}))
+        sched = make_lr_schedule(sched_cfg, ocfg.get("lr", 1.0))
+        trainer_cfg = self.raw_cfg.get("trainer", {})
+        return make_optimizer(
+            ocfg.get("name", "adamw"),
+            sched,
+            weight_decay=float(ocfg.get("weight_decay", 0.0)),
+            betas=tuple(ocfg.get("betas", (0.9, 0.98))),
+            grad_clip=trainer_cfg.get("gradient_clip_val") or None,
+        )
+
+    # implemented by subclasses:
+    #   _init_state(optimizer) -> TrainState
+    #   _make_train_step(optimizer, mesh) -> step fn
+    #   _eval_wer(loader) -> dict with 'wer'
+    #   _model_feat_dim() -> features count
+
+    def _loader(self, manifest, ds_cfg, shuffle, seed=0):
+        samples = read_manifest(
+            manifest,
+            min_duration=ds_cfg.get("min_duration"),
+            max_duration=ds_cfg.get("max_duration"),
+        )
+        ds = BucketedAudioTextDataset(
+            samples, self.tokenizer,
+            sample_rate=ds_cfg.get("sample_rate", 16000),
+            n_buckets=ds_cfg.get("num_buckets", 8),
+        )
+        return BucketedLoader(
+            ds, ds_cfg.get("batch_size", 16),
+            shuffle=shuffle, seed=seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+            bucketing_strategy=ds_cfg.get("bucketing_strategy", "synced_randomized"),
+        )
+
+    def fit(
+        self,
+        train_manifest: Optional[str] = None,
+        val_manifest: Optional[str] = None,
+        max_steps: Optional[int] = None,
+        max_epochs: Optional[int] = None,
+        exp_manager: Optional[ExperimentManager] = None,
+        val_every_n_steps: Optional[int] = None,
+        log_every_n_steps: Optional[int] = None,
+    ):
+        m = self.raw_cfg["model"]
+        tr = self.raw_cfg.get("trainer", {})
+        train_manifest = train_manifest or m["train_ds"]["manifest_filepath"]
+        val_manifest = val_manifest or (m.get("validation_ds") or {}).get("manifest_filepath")
+        max_epochs = max_epochs or tr.get("max_epochs", 1)
+        max_steps = max_steps or tr.get("max_steps")
+        log_every = log_every_n_steps or tr.get("log_every_n_steps", 10)
+
+        mesh_cfg = tr.get("mesh") or {}
+        model_axis = int(mesh_cfg.get("model", 1) or 1)
+        # data axis must divide the (static) batch size; drop devices if needed
+        batch_size = int(m.get("train_ds", {}).get("batch_size", 16))
+        n_dev = len(jax.devices())
+        data_axis = max(1, n_dev // model_axis)
+        while data_axis > 1 and batch_size % data_axis != 0:
+            data_axis -= 1
+        self._mesh = make_mesh(
+            data=data_axis, model=model_axis,
+            devices=jax.devices()[: data_axis * model_axis],
+        )
+
+        optimizer = self._make_optimizer()
+        if self.state is None:
+            self.state = self._init_state(optimizer)
+        if exp_manager is not None:
+            restored, meta = exp_manager.maybe_resume(self.state)
+            if restored is not None:
+                self.state = restored
+        step_fn = self._make_train_step(optimizer, self._mesh)
+
+        train_loader = self._loader(train_manifest, m.get("train_ds", {}), shuffle=True)
+        val_loader = (
+            self._loader(val_manifest, m.get("validation_ds", {}), shuffle=False)
+            if val_manifest
+            else None
+        )
+
+        step = int(self.state.step)
+        t0 = time.time()
+        metrics = {}
+        for epoch in range(max_epochs):
+            for batch in train_loader:
+                bd = shard_batch(self._mesh, _batch_dict(batch))
+                self.state, metrics = step_fn(self.state, bd)
+                step += 1
+                if step % log_every == 0:
+                    loss = float(metrics["loss"])
+                    if exp_manager:
+                        exp_manager.logger.log(step, train_loss=loss,
+                                               grad_norm=float(metrics["grad_norm"]))
+                if max_steps and step >= max_steps:
+                    break
+            # end of epoch: validate + checkpoint
+            val = {}
+            if val_loader is not None:
+                val = self._eval_wer(val_loader)
+                if exp_manager:
+                    exp_manager.logger.log(step, val_wer=val["wer"])
+            if exp_manager:
+                exp_manager.save(self.state, step, {"val_wer": val.get("wer")})
+            if max_steps and step >= max_steps:
+                break
+        return {"steps": step, "time_s": time.time() - t0, **({"last_loss": float(metrics["loss"])} if metrics else {})}
+
+    def transcribe(self, audio_paths: Sequence[str], batch_size: int = 16) -> List[str]:
+        """Offline transcription of audio files (ctc_models.transcribe parity:
+        eval mode, dither off, bucket-padded batches)."""
+        sr = self.raw_cfg["model"].get("sample_rate", 16000)
+        wavs = [load_audio(p, target_sr=sr) for p in audio_paths]
+        hyps: List[str] = []
+        # order by length for dense buckets, restore order at the end
+        order = np.argsort([len(w) for w in wavs])
+        out = [""] * len(wavs)
+        for i in range(0, len(order), batch_size):
+            idxs = order[i : i + batch_size]
+            chunk = [wavs[j] for j in idxs]
+            t_cap = int(math.ceil(max(len(w) for w in chunk) / 1600.0)) * 1600
+            audio = np.zeros((batch_size, t_cap), np.float32)
+            lens = np.zeros((batch_size,), np.int32)
+            for row, w in enumerate(chunk):
+                audio[row, : len(w)] = w
+                lens[row] = len(w)
+            texts = self._decode_audio_batch(audio, lens)[: len(chunk)]
+            for j, text in zip(idxs, texts):
+                out[j] = text
+        return out
+
+    def save_portable(self, path: str, artifacts: Optional[dict] = None):
+        save_portable(path, self.raw_cfg, self.state.params, artifacts)
+
+
+class ConformerCTC(_BaseASRModel):
+    def __init__(self, raw_cfg: dict, tokenizer, dtype=jnp.bfloat16):
+        super().__init__(raw_cfg, tokenizer)
+        self.cfg: CTCModelConfig = build_ctc_model_config(
+            raw_cfg, vocab_size=tokenizer.vocab_size, dtype=dtype
+        )
+        self._eval_step = None
+
+    @classmethod
+    def from_config_file(
+        cls, path: str, tokenizer_dir: Optional[str] = None, overrides: Optional[dict] = None,
+        dtype=jnp.bfloat16,
+    ):
+        raw = load_config(path, overrides)
+        m = raw["model"]
+        if "labels" in m and m.get("labels"):
+            tokenizer = CharTokenizer(m["labels"])
+        else:
+            tok_cfg = dict(m.get("tokenizer") or {})
+            if tokenizer_dir:
+                tok_cfg["dir"] = tokenizer_dir
+            tokenizer = build_tokenizer(tok_cfg)
+        return cls(raw, tokenizer, dtype=dtype)
+
+    @classmethod
+    def restore_portable(cls, path: str, dtype=jnp.bfloat16):
+        config, params, artifacts = load_portable(path)
+        m = config["model"]
+        if "labels" in m and m.get("labels"):
+            tokenizer = CharTokenizer(m["labels"])
+        elif "tokenizer" in artifacts:
+            from conformer_nemo_tpu.data.tokenizers import HFTokenizer
+
+            tokenizer = HFTokenizer(artifacts["tokenizer"])
+        else:
+            raise ValueError("no tokenizer artifact in portable archive")
+        model = cls(config, tokenizer, dtype=dtype)
+        optimizer = model._make_optimizer()
+        state = model._init_state(optimizer)
+        from flax import serialization
+
+        params = serialization.from_state_dict(state.params, params)
+        model.state = state.replace(params=params)
+        return model
+
+    # -- subclass contract impls ------------------------------------------
+    def _init_state(self, optimizer):
+        from conformer_nemo_tpu.train.trainer import init_ctc_state
+
+        d = self.cfg.preprocessor.features
+        return init_ctc_state(self.cfg, optimizer, jax.random.PRNGKey(0), (1, d, 128))
+
+    def _make_train_step(self, optimizer, mesh):
+        from conformer_nemo_tpu.train.trainer import make_ctc_train_step
+
+        return make_ctc_train_step(self.cfg, optimizer, mesh=mesh)
+
+    def _eval_wer(self, loader):
+        from conformer_nemo_tpu.train.trainer import evaluate_wer, make_ctc_eval_step
+
+        if self._eval_step is None:
+            self._eval_step = make_ctc_eval_step(self.cfg)
+        return evaluate_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step)
+
+    def _decode_audio_batch(self, audio, lens) -> List[str]:
+        from conformer_nemo_tpu.decode.ctc_greedy import collapse_ctc_ids
+        from conformer_nemo_tpu.train.trainer import make_ctc_eval_step
+
+        if self._eval_step is None:
+            self._eval_step = make_ctc_eval_step(self.cfg)
+        bd = {
+            "audio": audio, "audio_lens": lens,
+            "tokens": np.zeros((audio.shape[0], 8), np.int32),
+            "token_lens": np.zeros((audio.shape[0],), np.int32),
+        }
+        _, preds, enc_lens = self._eval_step(self.state, bd)
+        id_lists = collapse_ctc_ids(np.asarray(preds), np.asarray(enc_lens), self.cfg.blank_id)
+        return [self.tokenizer.ids_to_text(ids) for ids in id_lists]
+
+
+class ConformerTransducer(_BaseASRModel):
+    def __init__(self, raw_cfg: dict, tokenizer, dtype=jnp.bfloat16):
+        super().__init__(raw_cfg, tokenizer)
+        from conformer_nemo_tpu.train.rnnt_trainer import RNNTTrainConfig
+
+        m = raw_cfg["model"]
+        enc = build_encoder_config(m.get("encoder", {}), dtype=dtype)
+        defaults = m.get("model_defaults", {})
+        dec_cfg = m.get("decoder", {})
+        prednet = dec_cfg.get("prednet", {})
+        joint_cfg = m.get("joint", {})
+        jointnet = joint_cfg.get("jointnet", {})
+        loss_kwargs = (m.get("loss") or {}).get("rnnt_kwargs") or {}
+        vn = m.get("variational_noise") or {}
+        self.cfg = RNNTTrainConfig(
+            preprocessor=build_preprocessor_config(m.get("preprocessor", {})),
+            spec_augment=build_spec_augment_config(m.get("spec_augment", {}) or {}),
+            model=RNNTModelConfig(
+                encoder=enc,
+                decoder=RNNTDecoderConfig(
+                    vocab_size=tokenizer.vocab_size,
+                    pred_hidden=prednet.get("pred_hidden", defaults.get("pred_hidden", 640)),
+                    pred_rnn_layers=prednet.get("pred_rnn_layers", 1),
+                    dropout=prednet.get("dropout", 0.1),
+                    dtype=dtype,
+                ),
+                joint=RNNTJointConfig(
+                    joint_hidden=jointnet.get("joint_hidden", defaults.get("joint_hidden", 640)),
+                    activation=jointnet.get("activation", "relu"),
+                    dropout=jointnet.get("dropout", 0.1),
+                    fuse_loss_wer=joint_cfg.get("fuse_loss_wer", True),
+                    fused_batch_size=joint_cfg.get("fused_batch_size", 16),
+                    dtype=dtype,
+                ),
+                fastemit_lambda=float(loss_kwargs.get("fastemit_lambda", 0.0)),
+                clamp=float(loss_kwargs.get("clamp", -1.0)),
+            ),
+            variational_noise_std=float(vn.get("std", 0.0)),
+            variational_noise_start=int(vn.get("start_step", 0)),
+        )
+        self._eval_step = None
+        self._max_symbols = int(
+            ((m.get("decoding") or {}).get("greedy") or {}).get("max_symbols", 10)
+        )
+
+    from_config_file = classmethod(ConformerCTC.from_config_file.__func__)
+
+    def _init_state(self, optimizer):
+        from conformer_nemo_tpu.train.rnnt_trainer import init_rnnt_state
+
+        d = self.cfg.preprocessor.features
+        return init_rnnt_state(self.cfg, optimizer, jax.random.PRNGKey(0), (1, d, 128))
+
+    def _make_train_step(self, optimizer, mesh):
+        from conformer_nemo_tpu.train.rnnt_trainer import make_rnnt_train_step
+
+        return make_rnnt_train_step(self.cfg, optimizer, mesh=mesh)
+
+    def _eval_wer(self, loader):
+        from conformer_nemo_tpu.train.rnnt_trainer import evaluate_rnnt_wer, make_rnnt_eval_step
+
+        if self._eval_step is None:
+            self._eval_step = make_rnnt_eval_step(self.cfg, max_symbols=self._max_symbols)
+        return evaluate_rnnt_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step)
+
+    def _decode_audio_batch(self, audio, lens) -> List[str]:
+        from conformer_nemo_tpu.train.rnnt_trainer import make_rnnt_eval_step
+
+        if self._eval_step is None:
+            self._eval_step = make_rnnt_eval_step(self.cfg, max_symbols=self._max_symbols)
+        bd = {
+            "audio": audio, "audio_lens": lens,
+            "tokens": np.zeros((audio.shape[0], 8), np.int32),
+            "token_lens": np.zeros((audio.shape[0],), np.int32),
+        }
+        tokens, tlens, _ = self._eval_step(self.state, bd)
+        toks = np.asarray(tokens)
+        return [
+            self.tokenizer.ids_to_text(toks[i, : int(tlens[i])].tolist())
+            for i in range(audio.shape[0])
+        ]
+
+    def save_portable(self, path: str, artifacts: Optional[dict] = None):
+        save_portable(path, self.raw_cfg, self.state.params, artifacts)

@@ -70,26 +70,31 @@ def make_lr_schedule(cfg: dict, base_lr: float) -> Callable:
     """Build from a reference-shaped `optim.sched` dict (cfg surface:
     configs/conformer_ctc_bpe.yaml:154-160)."""
     name = cfg.get("name", "NoamAnnealing")
+    base_lr = float(base_lr)
+    # note: PyYAML parses bare scientific notation ('1e-6') as str — coerce.
+    min_lr = float(cfg.get("min_lr") or 0.0)
+    max_steps = cfg.get("max_steps")
+    max_steps = int(max_steps) if max_steps else None
     if name == "NoamAnnealing":
         warmup = cfg.get("warmup_steps")
         if warmup is None and cfg.get("warmup_ratio") is not None:
-            warmup = int(cfg["warmup_ratio"] * cfg["max_steps"])
+            warmup = int(float(cfg["warmup_ratio"]) * max_steps)
         return noam_annealing(
             base_lr,
-            d_model=cfg["d_model"],
+            d_model=int(cfg["d_model"]),
             warmup_steps=int(warmup or 0) or 1,
-            min_lr=cfg.get("min_lr", 0.0),
-            max_steps=cfg.get("max_steps"),
+            min_lr=min_lr,
+            max_steps=max_steps,
         )
     if name == "CosineAnnealing":
         return cosine_annealing(
             base_lr,
-            max_steps=cfg["max_steps"],
+            max_steps=max_steps,
             warmup_steps=int(cfg.get("warmup_steps") or 0),
-            min_lr=cfg.get("min_lr", 0.0),
+            min_lr=min_lr,
         )
     if name == "InverseSquareRootAnnealing":
         return inverse_sqrt_annealing(
-            base_lr, warmup_steps=int(cfg.get("warmup_steps") or 1), min_lr=cfg.get("min_lr", 0.0)
+            base_lr, warmup_steps=int(cfg.get("warmup_steps") or 1), min_lr=min_lr
         )
     raise ValueError(f"unknown scheduler {name}")

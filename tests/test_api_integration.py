@@ -1,0 +1,146 @@
+"""Full-pipeline integration: config file -> model -> fit -> transcribe ->
+portable save/restore (the framework's fast_dev_run analogue)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conformer_nemo_tpu.data.audio_io import write_wav
+
+TINY_CFG = """
+name: "tiny-ctc-char"
+model:
+  sample_rate: 16000
+  labels: [" ", "a", "b"]
+  ctc_reduction: 'mean_batch'
+  train_ds:
+    manifest_filepath: {manifest}
+    sample_rate: 16000
+    batch_size: 2
+    shuffle: true
+    min_duration: 0.05
+    max_duration: 20.0
+    num_buckets: 2
+  validation_ds:
+    manifest_filepath: {manifest}
+    sample_rate: 16000
+    batch_size: 2
+  preprocessor:
+    sample_rate: 16000
+    features: 32
+    n_fft: 512
+    window_size: 0.025
+    window_stride: 0.01
+    dither: 0.0
+  spec_augment:
+    freq_masks: 0
+    time_masks: 0
+  encoder:
+    feat_in: 32
+    n_layers: 1
+    d_model: 32
+    n_heads: 2
+    ff_expansion_factor: 2
+    conv_kernel_size: 7
+    conv_norm_type: 'layer_norm'
+    dropout: 0.0
+    dropout_att: 0.0
+  optim:
+    name: adamw
+    lr: 0.5
+    betas: [0.9, 0.98]
+    weight_decay: 0.0
+    sched:
+      name: NoamAnnealing
+      d_model: 32
+      warmup_steps: 20
+      min_lr: 1e-6
+trainer:
+  max_epochs: 1
+  log_every_n_steps: 5
+  gradient_clip_val: 1.0
+exp_manager:
+  exp_dir: {exp_dir}
+  name: tiny
+  resume_if_exists: false
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("corpus")
+    sr = 16000
+    rng = np.random.RandomState(0)
+    entries = []
+    texts = ["ab", "ba", "a b", "b a", "ab ba", "a", "b", "aa"]
+    for i, text in enumerate(texts):
+        dur = 0.4 + 0.1 * (i % 3)
+        n = int(dur * sr)
+        wav = (rng.randn(n) * 0.05).astype(np.float32)
+        p = str(tmp / f"{i}.wav")
+        write_wav(p, wav, sr)
+        entries.append({"audio_filepath": p, "duration": dur, "text": text})
+    manifest = str(tmp / "manifest.json")
+    with open(manifest, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    cfg_path = str(tmp / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CFG.format(manifest=manifest, exp_dir=str(tmp / "exp")))
+    return {"manifest": manifest, "cfg": cfg_path, "dir": str(tmp)}
+
+
+def test_fit_transcribe_save_restore(corpus):
+    import jax.numpy as jnp
+
+    from conformer_nemo_tpu.api import ConformerCTC
+    from conformer_nemo_tpu.train.exp_manager import ExpManagerConfig, ExperimentManager
+
+    model = ConformerCTC.from_config_file(corpus["cfg"], dtype=jnp.float32)
+    em = ExperimentManager(
+        ExpManagerConfig(exp_dir=os.path.join(corpus["dir"], "exp"), name="t", save_top_k=2)
+    )
+    result = model.fit(max_epochs=2, exp_manager=em)
+    assert result["steps"] >= 2
+    assert np.isfinite(result["last_loss"])
+
+    # transcribe runs end to end (quality not asserted at 2 epochs)
+    wavs = [os.path.join(corpus["dir"], "0.wav"), os.path.join(corpus["dir"], "1.wav")]
+    hyps = model.transcribe(wavs, batch_size=2)
+    assert len(hyps) == 2
+    assert all(isinstance(h, str) for h in hyps)
+
+    # portable roundtrip preserves transcription behavior
+    art = os.path.join(corpus["dir"], "model.cntpu")
+    model.save_portable(art)
+    model2 = ConformerCTC.restore_portable(art, dtype=jnp.float32)
+    hyps2 = model2.transcribe(wavs, batch_size=2)
+    assert hyps2 == hyps
+
+    # checkpoints + metrics written
+    assert os.path.exists(os.path.join(em.run_dir, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(em.ckpt_dir, "last"))
+
+
+def test_cli_fast_dev_run(corpus):
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [
+            sys.executable, "scripts/speech_to_text_ctc.py",
+            "--config", corpus["cfg"],
+            f"model.train_ds.manifest_filepath={corpus['manifest']}",
+            "+fast_dev_run=true",
+        ],
+        capture_output=True, text=True, timeout=500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "done:" in proc.stdout
