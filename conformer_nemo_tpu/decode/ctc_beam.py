@@ -1,0 +1,136 @@
+"""CTC beam search with n-gram LM fusion — Python wrapper over the native
+C++ decoder (native/ctc_beam/ctc_beam.cpp).
+
+Parity target: reference `BeamSearchDecoderWithLM`
+(`/root/reference/nemo/collections/asr/modules/beam_search_decoder.py:21-103`):
+device produces log-probs, host C++ runs prefix beam search with
+Scorer(alpha, beta, lm_path, vocab); batch parallel over CPU cores.
+
+Build: compiled on demand with g++ -O3 (no pybind11 — plain C ABI via ctypes);
+cached under native/build/.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "ctc_beam", "ctc_beam.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libctc_beam.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _compile() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_compile())
+            lib.ctc_lm_load.restype = ctypes.c_void_p
+            lib.ctc_lm_load.argtypes = [ctypes.c_char_p]
+            lib.ctc_lm_free.argtypes = [ctypes.c_void_p]
+            lib.ctc_beam_search.restype = ctypes.c_int
+            lib.ctc_beam_search.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_double, ctypes.c_double, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ]
+            _lib = lib
+    return _lib
+
+
+class BeamSearchDecoderWithLM:
+    """Char-level CTC prefix beam search with optional ARPA n-gram LM.
+
+    vocab: list of labels (id order); blank is assumed to be the LAST index
+    (reference convention: blank = V, conv_asr.py:436).
+    """
+
+    def __init__(
+        self,
+        vocab: Sequence[str],
+        beam_width: int = 64,
+        alpha: float = 1.0,
+        beta: float = 1.5,
+        lm_path: Optional[str] = None,
+        num_cpus: int = 4,
+    ):
+        self.vocab = list(vocab)
+        self.blank_id = len(self.vocab)
+        self.beam_width = beam_width
+        self.alpha = alpha
+        self.beta = beta
+        self.num_cpus = max(1, num_cpus)
+        self._lib = _load()
+        self._lm = None
+        if lm_path:
+            handle = self._lib.ctc_lm_load(lm_path.encode())
+            if not handle:
+                raise ValueError(f"failed to load ARPA LM from {lm_path}")
+            self._lm = ctypes.c_void_p(handle)
+        # vocab passed to native: labels + blank sentinel row
+        self._vocab_joined = "\n".join(self.vocab + ["<blank>"]).encode()
+
+    def __del__(self):
+        if getattr(self, "_lm", None) and getattr(self, "_lib", None):
+            self._lib.ctc_lm_free(self._lm)
+
+    def _decode_one(self, log_probs: np.ndarray, nbest: int) -> List[Tuple[str, float]]:
+        lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+        t, v = lp.shape
+        assert v == len(self.vocab) + 1, (v, len(self.vocab))
+        buf = ctypes.create_string_buffer(1 << 20)
+        n = self._lib.ctc_beam_search(
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
+            self._vocab_joined, self.blank_id, self.beam_width,
+            self.alpha if self._lm else 0.0, self.beta if self._lm else 0.0,
+            self._lm, nbest, buf, len(buf),
+        )
+        if n < 0:
+            raise RuntimeError("ctc_beam_search output buffer overflow")
+        out = []
+        if n > 0:
+            for part in buf.value.decode("utf-8", "replace").split("\x02"):
+                text, _, score = part.partition("\x01")
+                out.append((text, float(score)))
+        return out
+
+    def __call__(
+        self,
+        log_probs_batch: np.ndarray,  # [B, T, V+1]
+        seq_lens: Optional[np.ndarray] = None,
+        nbest: int = 1,
+    ) -> List[List[Tuple[str, float]]]:
+        """Batch decode, parallel over CPU threads (the native code releases
+        the GIL during ctypes calls)."""
+        log_probs_batch = np.asarray(log_probs_batch)
+        b = log_probs_batch.shape[0]
+        items = []
+        for i in range(b):
+            lp = log_probs_batch[i]
+            if seq_lens is not None:
+                lp = lp[: int(seq_lens[i])]
+            items.append(lp)
+        if b == 1 or self.num_cpus == 1:
+            return [self._decode_one(lp, nbest) for lp in items]
+        with ThreadPoolExecutor(max_workers=self.num_cpus) as ex:
+            return list(ex.map(lambda lp: self._decode_one(lp, nbest), items))
