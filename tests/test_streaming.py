@@ -1,0 +1,119 @@
+"""Buffered/streaming inference mechanics (streaming_utils.py parity)."""
+
+import numpy as np
+
+from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+from conformer_nemo_tpu.decode.streaming import (
+    AudioFeatureIterator,
+    FeatureFrameBufferer,
+    FrameBatchASR,
+    BatchedFrameASRRNNT,
+    longest_common_subsequence_merge,
+)
+
+LABELS = [" ", "a", "b", "c"]
+BLANK = len(LABELS)
+
+
+def fake_feature_fn(samples):
+    # 1 feature dim per 160 samples; feature value = sample index block id
+    n = len(samples) // 160
+    feats = np.tile(np.arange(n, dtype=np.float32)[None, :], (4, 1))
+    return feats
+
+
+def test_audio_feature_iterator_chunks_and_pads():
+    samples = np.zeros(16000, dtype=np.float32)  # -> 100 frames
+    it = AudioFeatureIterator(samples, frame_len=0.3, feature_fn=fake_feature_fn, window_stride=0.01)
+    chunks = list(it)
+    assert all(c.shape == (4, 30) for c in chunks)
+    # 100 frames / 30 per chunk -> 4 chunks, last zero-padded
+    assert len(chunks) == 4
+    assert (chunks[-1][:, 10:] == 0).all()
+
+
+def test_frame_bufferer_shifts():
+    buf = FeatureFrameBufferer(n_feat=2, frame_len=0.1, total_buffer=0.3, window_stride=0.01, batch_size=2)
+
+    class Reader:
+        def __init__(self):
+            self.i = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            if self.i >= 3:
+                raise StopIteration
+            f = np.full((2, 10), float(self.i), np.float32)
+            self.i += 1
+            return f
+
+    buf.set_frame_reader(Reader())
+    b1 = buf.get_buffers_batch()
+    assert len(b1) == 2
+    b2 = buf.get_buffers_batch()
+    assert len(b2) == 1
+    assert buf.get_buffers_batch() == []
+
+
+def test_lcs_merge():
+    # chunk2 overlaps last 3 tokens of chunk1
+    x = [1, 2, 3, 4, 5]
+    y = [3, 4, 5, 6, 7]
+    assert longest_common_subsequence_merge(x, y) == [6, 7]
+    # no overlap -> append all
+    assert longest_common_subsequence_merge([1, 2], [8, 9]) == [8, 9]
+    assert longest_common_subsequence_merge([], [1, 2]) == [1, 2]
+
+
+def test_frame_batch_asr_end_to_end_fake_model():
+    tok = CharTokenizer(LABELS)
+
+    # fake forward: emits token (frame_value mod 3 + 1) at every 10th frame else blank
+    def forward_fn(feats, lens):
+        b, d, t = feats.shape
+        preds = np.full((b, t // 4), BLANK, np.int64)  # pretend 4x subsampling
+        for i in range(b):
+            for j in range(preds.shape[1]):
+                v = feats[i, 0, j * 4]
+                if v >= 0 and int(v) % 10 == 0 and v > 0:
+                    preds[i, j] = int(v // 10) % 3 + 1
+        return preds
+
+    asr = FrameBatchASR(
+        forward_fn, fake_feature_fn, tok, BLANK,
+        n_feat=4, frame_len=0.2, total_buffer=0.4, batch_size=2,
+    )
+    samples = np.zeros(16000 * 2, dtype=np.float32)
+    asr.read_audio_samples(samples, delay=2, model_stride_in_secs=0.04)
+    text = asr.transcribe(tokens_per_chunk=5, delay=2)
+    assert isinstance(text, str)
+
+
+def test_rnnt_chunked_lcs_transcribe():
+    tok = CharTokenizer(LABELS)
+    calls = []
+
+    def decode_fn(feats, lens):
+        # each buffer decodes to a fixed overlapping stream
+        b = feats.shape[0]
+        seqs = [[1, 2, 3], [2, 3, 1], [3, 1, 2]]
+        toks = np.zeros((b, 3), np.int32)
+        tl = np.zeros((b,), np.int32)
+        for i in range(b):
+            s = seqs[(len(calls) + i) % 3]
+            toks[i, : len(s)] = s
+            tl[i] = len(s)
+        calls.append(b)
+        return toks, tl
+
+    asr = BatchedFrameASRRNNT(
+        decode_fn, fake_feature_fn, tok,
+        n_feat=4, frame_len=0.2, total_buffer=0.4, batch_size=2,
+    )
+    samples = np.zeros(16000, dtype=np.float32)
+    asr.read_audio_samples(samples, delay=0, model_stride_in_secs=0.04)
+    text = asr.transcribe()
+    assert isinstance(text, str)
+    assert len(text) > 0
