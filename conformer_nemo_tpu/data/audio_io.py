@@ -19,14 +19,26 @@ from fractions import Fraction
 import numpy as np
 
 
+def read_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse WAV from an in-memory buffer (tar-shard path)."""
+    import io
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return _parse_wav(w)
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 samples [T] mono or [T, C], sample_rate)."""
     with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        n_frames = w.getnframes()
-        raw = w.readframes(n_frames)
+        return _parse_wav(w)
+
+
+def _parse_wav(w) -> tuple[np.ndarray, int]:
+    sr = w.getframerate()
+    n_ch = w.getnchannels()
+    width = w.getsampwidth()
+    n_frames = w.getnframes()
+    raw = w.readframes(n_frames)
     if width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:

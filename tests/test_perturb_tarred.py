@@ -1,0 +1,138 @@
+"""Waveform perturbations + tarred-shard ingestion."""
+
+import json
+import os
+import random
+import tarfile
+
+import numpy as np
+import pytest
+
+from conformer_nemo_tpu.audio.perturb import (
+    AudioAugmentor,
+    GainPerturbation,
+    NoisePerturbation,
+    ShiftPerturbation,
+    SpeedPerturbation,
+    WhiteNoisePerturbation,
+    process_augmentations,
+)
+from conformer_nemo_tpu.data.audio_io import write_wav
+from conformer_nemo_tpu.data.tarred import (
+    TarredAudioTextDataset,
+    expand_sharded_filepaths,
+)
+from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+
+def test_speed_changes_length():
+    rng = random.Random(0)
+    x = np.random.RandomState(0).randn(16000).astype(np.float32)
+    p = SpeedPerturbation(min_speed_rate=0.9, max_speed_rate=0.9, num_rates=1)
+    y = p.perturb(x, 16000, rng)
+    # librosa convention: resample to rate*sr then play at sr -> longer for rate<1
+    assert abs(len(y) - 16000 / 0.9) < 50 or abs(len(y) - 16000 * 0.9) < 50
+
+
+def test_gain():
+    rng = random.Random(0)
+    x = np.ones(100, np.float32)
+    p = GainPerturbation(min_gain_dbfs=6.02, max_gain_dbfs=6.02)
+    y = p.perturb(x, 16000, rng)
+    np.testing.assert_allclose(y, 2.0, rtol=1e-2)
+
+
+def test_shift_zero_fills():
+    rng = random.Random(1)
+    x = np.arange(100, dtype=np.float32) + 1
+    p = ShiftPerturbation(min_shift_ms=2.0, max_shift_ms=2.0)
+    y = p.perturb(x, 16000, rng)  # 32-sample shift
+    assert (y[:32] == 0).all()
+    assert y[32] == x[0]
+
+
+def test_white_noise_and_augmentor():
+    aug = AudioAugmentor([(1.0, WhiteNoisePerturbation(-50, -50))], seed=0)
+    x = np.zeros(1000, np.float32)
+    y = aug.perturb(x, 16000)
+    assert y.std() > 0
+    assert abs(20 * np.log10(y.std() + 1e-12) - (-50)) < 2.0
+
+
+def test_noise_perturbation_snr(tmp_path):
+    sr = 16000
+    noise = np.random.RandomState(0).randn(sr).astype(np.float32) * 0.5
+    npath = str(tmp_path / "noise.wav")
+    write_wav(npath, noise, sr)
+    man = str(tmp_path / "noise.json")
+    with open(man, "w") as f:
+        f.write(json.dumps({"audio_filepath": npath, "duration": 1.0, "text": ""}) + "\n")
+    p = NoisePerturbation(man, min_snr_db=10, max_snr_db=10)
+    x = np.random.RandomState(1).randn(sr).astype(np.float32) * 0.1
+    y = p.perturb(x.copy(), sr, random.Random(0))
+    added = y - x
+    snr = 10 * np.log10((x ** 2).mean() / ((added ** 2).mean() + 1e-12))
+    assert abs(snr - 10) < 2.0
+
+
+def test_process_augmentations_registry():
+    aug = process_augmentations({"gain": {"prob": 1.0, "min_gain_dbfs": 0, "max_gain_dbfs": 0}})
+    x = np.ones(10, np.float32)
+    np.testing.assert_allclose(aug.perturb(x, 16000), x)
+    with pytest.raises(ValueError):
+        process_augmentations({"nope": {}})
+
+
+def test_expand_sharded_filepaths():
+    out = expand_sharded_filepaths("shard_{0..3}.tar", "replicate")
+    assert out == [f"shard_{i}.tar" for i in range(4)]
+    out = expand_sharded_filepaths("shard__OP_0..3_CL_.tar", "scatter", world_size=2, global_rank=1)
+    assert out == ["shard_2.tar", "shard_3.tar"]
+    with pytest.raises(ValueError):
+        expand_sharded_filepaths("shard_{0..2}.tar", "scatter", world_size=2)
+
+
+@pytest.fixture
+def tar_corpus(tmp_path):
+    sr = 16000
+    rng = np.random.RandomState(0)
+    entries = []
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for shard in range(2):
+        with tarfile.open(str(tmp_path / f"audio_{shard}.tar"), "w") as tf:
+            for i in range(3):
+                name = f"utt{shard}_{i}.wav"
+                p = str(wav_dir / name)
+                write_wav(p, (rng.randn(8000) * 0.05).astype(np.float32), sr)
+                tf.add(p, arcname=name)
+                entries.append({"audio_filepath": name, "duration": 0.5, "text": "a b"})
+    man = str(tmp_path / "manifest.json")
+    with open(man, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    return str(tmp_path / "audio_{0..1}.tar"), man
+
+
+def test_tarred_dataset_iterates(tar_corpus):
+    tars, man = tar_corpus
+    tok = CharTokenizer([" ", "a", "b"])
+    ds = TarredAudioTextDataset(tars, man, tok, shuffle_n=2, shard_strategy="replicate")
+    items = list(ds)
+    assert len(items) == 6
+    wav, tokens, text = items[0]
+    assert wav.dtype == np.float32
+    assert text == "a b"
+    assert tokens == [1, 0, 2]
+
+
+def test_tarred_scatter_partitions(tar_corpus):
+    tars, man = tar_corpus
+    tok = CharTokenizer([" ", "a", "b"])
+    seen = []
+    for rank in range(2):
+        ds = TarredAudioTextDataset(
+            tars, man, tok, shard_strategy="scatter", world_size=2, global_rank=rank
+        )
+        seen.append(len(list(ds)))
+    assert seen == [3, 3]
