@@ -74,14 +74,30 @@ class ConformerEncoderConfig:
         return self.d_model // self.n_heads
 
 
-def subsampled_lengths(lengths: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Output lengths after striding subsampling (k=3, s=2, p=1, repeated
-    log2(factor) times). Parity with reference calc_length (subsampling.py:272)."""
-    reps = int(math.log2(factor))
-    out = lengths.astype(jnp.float32)
+_SUBSAMPLING_GEOM = {
+    # mode -> (padding, kernel, stride, ceil_mode) of the length-determining op
+    # (reference subsampling.py:73-149: striding conv, vggnet/resnet pools,
+    # subencoder k4s2p1 conv)
+    "striding": (1, 3, 2, False),
+    "vggnet": (0, 2, 2, True),
+    "resnet": (0, 2, 2, True),
+    "subencoder": (1, 4, 2, False),
+}
+
+
+def calc_sub_length(lengths, mode: str, reps: int):
+    """Output length after `reps` applications of the mode's length op.
+    Parity with reference calc_length (subsampling.py:272-282)."""
+    pad, k, s, ceil = _SUBSAMPLING_GEOM[mode]
+    out = jnp.asarray(lengths, jnp.float32)
     for _ in range(reps):
-        out = jnp.floor((out + 2 * 1 - 3) / 2 + 1.0)
+        out = (out + 2 * pad - k) / s + 1.0
+        out = jnp.ceil(out) if ceil else jnp.floor(out)
     return out.astype(jnp.int32)
+
+
+def subsampled_lengths(lengths: jnp.ndarray, factor: int, mode: str = "striding") -> jnp.ndarray:
+    return calc_sub_length(lengths, mode, int(math.log2(factor)))
 
 
 def sinusoidal_rel_pos_emb(length: int, d_model: int) -> np.ndarray:
@@ -287,32 +303,75 @@ class ConformerLayer(nn.Module):
         return ln("norm_out")(residual)
 
 
+def _max_pool_2x2_ceil(y):
+    """2x2 stride-2 max pool with ceil_mode=True (torch MaxPool2d parity):
+    right/bottom -inf padding to even size, then pool."""
+    b, t, f, c = y.shape
+    pad_t, pad_f = t % 2, f % 2
+    if pad_t or pad_f:
+        y = jnp.pad(
+            y, ((0, 0), (0, pad_t), (0, pad_f), (0, 0)), constant_values=-jnp.inf
+        )
+    return nn.max_pool(y, window_shape=(2, 2), strides=(2, 2))
+
+
 class ConvSubsampling(nn.Module):
-    """Striding subsampling: log2(factor) x [Conv2d(C, k=3, s=2, p=1) + ReLU],
-    then Linear over flattened (C * F') (subsampling.py:44-180)."""
+    """Conv subsampling front-end: striding / vggnet / resnet / subencoder.
+
+    Parity targets (subsampling.py:44-269):
+      striding:   log2(f) x [Conv2d(C, k3 s2 p1) + ReLU]
+      vggnet:     log2(f) x [Conv k3s1p1 + ReLU, Conv k3s1p1 + ReLU,
+                  MaxPool k2 s2 ceil]
+      resnet:     log2(f) x [ResNetBlock (broadcast-residual convs + BN) +
+                  MaxPool k2 s2 ceil]   (fork addition)
+      subencoder: log2(f) x SEEncoderLayer (Conv k4s2p1 + BN + ReLU, two
+                  residual k3s1p1 conv+BN+ReLU)   (fork addition)
+    then Linear over flattened (C * F')."""
 
     cfg: ConformerEncoderConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, train: bool = False):
         cfg = self.cfg
         channels = (
             cfg.subsampling_conv_channels if cfg.subsampling_conv_channels > 0 else cfg.d_model
         )
         reps = int(math.log2(cfg.subsampling_factor))
+        mode = cfg.subsampling
+        conv = lambda name, feats, k, s, p: nn.Conv(
+            feats, kernel_size=(k, k), strides=(s, s), padding=[(p, p), (p, p)],
+            dtype=cfg.dtype, param_dtype=jnp.float32, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name,
+        )
         # x: [B, T, F] -> [B, T, F, 1] (NHWC)
         y = x[..., None].astype(cfg.dtype)
         for i in range(reps):
-            y = nn.Conv(
-                channels,
-                kernel_size=(3, 3),
-                strides=(2, 2),
-                padding=[(1, 1), (1, 1)],
-                dtype=cfg.dtype,
-                param_dtype=jnp.float32,
-                name=f"conv{i}",
-            )(y)
-            y = nn.relu(y)
+            if mode == "striding":
+                y = nn.relu(conv(f"conv{i}", channels, 3, 2, 1)(y))
+            elif mode == "vggnet":
+                y = nn.relu(conv(f"conv{i}a", channels, 3, 1, 1)(y))
+                y = nn.relu(conv(f"conv{i}b", channels, 3, 1, 1)(y))
+                y = _max_pool_2x2_ceil(y)
+            elif mode == "resnet":
+                # ResNetBlock (subsampling.py:179): broadcast residual adds
+                y = y + conv(f"res{i}a", channels, 3, 1, 1)(y)
+                y = nn.relu(bn(f"res{i}a_bn")(y.astype(jnp.float32))).astype(cfg.dtype)
+                y = y + conv(f"res{i}b", channels, 3, 1, 1)(y)
+                y = nn.relu(bn(f"res{i}b_bn")(y.astype(jnp.float32))).astype(cfg.dtype)
+                y = _max_pool_2x2_ceil(y)
+            elif mode == "subencoder":
+                # SEEncoderLayer (subsampling.py:232-269)
+                y = conv(f"se{i}a", channels, 4, 2, 1)(y)
+                y = nn.relu(bn(f"se{i}a_bn")(y.astype(jnp.float32))).astype(cfg.dtype)
+                y = y + conv(f"se{i}b", channels, 3, 1, 1)(y)
+                y = nn.relu(bn(f"se{i}b_bn")(y.astype(jnp.float32))).astype(cfg.dtype)
+                y = y + conv(f"se{i}c", channels, 3, 1, 1)(y)
+                y = nn.relu(bn(f"se{i}c_bn")(y.astype(jnp.float32))).astype(cfg.dtype)
+            else:
+                raise ValueError(f"unknown subsampling mode: {mode}")
         b, t, f, c = y.shape
         y = y.reshape(b, t, f * c)
         return nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=jnp.float32, name="out")(y)
@@ -361,9 +420,9 @@ class ConformerEncoder(nn.Module):
         x = jnp.swapaxes(features, 1, 2)  # [B, T, F]
         deterministic = not train
 
-        if cfg.subsampling == "striding" and cfg.subsampling_factor > 1:
-            x = ConvSubsampling(cfg, name="pre_encode")(x)
-            out_lengths = subsampled_lengths(lengths, cfg.subsampling_factor)
+        if cfg.subsampling in _SUBSAMPLING_GEOM and cfg.subsampling_factor > 1:
+            x = ConvSubsampling(cfg, name="pre_encode")(x, train=train)
+            out_lengths = subsampled_lengths(lengths, cfg.subsampling_factor, cfg.subsampling)
         elif cfg.subsampling == "stacking" and cfg.subsampling_factor > 1:
             x = StackingSubsampling(cfg, name="pre_encode")(x)
             f = cfg.subsampling_factor

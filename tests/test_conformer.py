@@ -129,3 +129,37 @@ def test_batch_norm_variant_train_updates_stats():
         rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
     )
     assert "batch_stats" in updates
+
+
+import jax.numpy as _jnp
+
+
+@pytest.mark.parametrize("mode,t_out", [
+    ("striding", 16), ("vggnet", 16), ("resnet", 16), ("subencoder", 16),
+])
+def test_subsampling_variants(mode, t_out):
+    # All 4x modes reduce T=64 -> 16 (striding/subencoder via conv math,
+    # vggnet/resnet via ceil-mode pooling).
+    cfg = small_cfg(subsampling=mode, subsampling_conv_channels=8)
+    enc = ConformerEncoder(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 80, 64))
+    lengths = jnp.array([64, 40])
+    variables = enc.init(jax.random.PRNGKey(0), feats, lengths, train=False)
+    out, out_len = enc.apply(variables, feats, lengths, train=False)
+    assert out.shape == (2, 64, t_out), (mode, out.shape)
+    from conformer_nemo_tpu.models.conformer import calc_sub_length
+    np.testing.assert_array_equal(
+        np.asarray(out_len), np.asarray(calc_sub_length(lengths, mode, 2))
+    )
+
+
+def test_subsampling_length_formulas():
+    from conformer_nemo_tpu.models.conformer import calc_sub_length
+    # torch reference math: conv floor((L+2p-k)/s)+1; pool ceil((L-k)/s)+1
+    lens = jnp.array([64, 63, 41, 7])
+    # striding (p1 k3 s2 floor): 64->32->16 ; 63->32->16 ; 41->21->11 ; 7->4->2
+    np.testing.assert_array_equal(np.asarray(calc_sub_length(lens, "striding", 2)), [16, 16, 11, 2])
+    # vggnet (p0 k2 s2 ceil): 64->32->16 ; 63->32->16 ; 41->21->11 ; 7->4->2
+    np.testing.assert_array_equal(np.asarray(calc_sub_length(lens, "vggnet", 2)), [16, 16, 11, 2])
+    # subencoder (p1 k4 s2 floor): 64->32->16 ; 63->31->15 ; 41->20->10 ; 7->3->1
+    np.testing.assert_array_equal(np.asarray(calc_sub_length(lens, "subencoder", 2)), [16, 15, 10, 1])
