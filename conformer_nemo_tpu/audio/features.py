@@ -239,6 +239,13 @@ def log_mel_spectrogram(
     if cfg.log:
         mel = jnp.log(mel + cfg.log_zero_guard_value)
 
+    if cfg.frame_splicing > 1:
+        # Literal parity with reference splice_frames (features.py:86-96):
+        # note the reference's cat([x[:,:,:n], x[:,:,n:]]) reconstructs x
+        # unchanged, so splicing degenerates to channel duplication — we
+        # reproduce that behavior exactly (all six recipes use splicing=1).
+        mel = jnp.concatenate([mel] * cfg.frame_splicing, axis=1)
+
     num_frames = mel.shape[-1]
     frame_idx = jnp.arange(num_frames)[None, :]
     valid = frame_idx < seq_len[:, None]  # [B, F]
