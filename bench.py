@@ -42,12 +42,15 @@ def main():
     step = make_ctc_train_step(cfg, opt)
     t_samples = int(SECONDS * SR)
     rng = np.random.RandomState(0)
-    batch = {
+    # device-resident batch: in training the loader prefetches batches to the
+    # device asynchronously (data/prefetch.py), so steady-state step time does
+    # not include the H2D copy.
+    batch = jax.tree.map(jnp.asarray, {
         "audio": (rng.randn(BATCH, t_samples) * 0.1).astype(np.float32),
         "audio_lens": np.full((BATCH,), t_samples, np.int32),
         "tokens": rng.randint(0, cfg.num_classes, size=(BATCH, 128)).astype(np.int32),
         "token_lens": np.full((BATCH,), 128, np.int32),
-    }
+    })
 
     for _ in range(WARMUP):
         state, metrics = step(state, batch)

@@ -156,12 +156,18 @@ class _BaseASRModel:
             else None
         )
 
+        from conformer_nemo_tpu.data.prefetch import device_prefetch
+        from conformer_nemo_tpu.parallel.mesh import batch_sharding
+
         step = int(self.state.step)
         t0 = time.time()
         metrics = {}
+        sharding = batch_sharding(self._mesh)
         for epoch in range(max_epochs):
-            for batch in train_loader:
-                bd = shard_batch(self._mesh, _batch_dict(batch))
+            batches = device_prefetch(
+                (_batch_dict(b) for b in train_loader), sharding=sharding
+            )
+            for bd in batches:
                 self.state, metrics = step_fn(self.state, bd)
                 step += 1
                 if step % log_every == 0:

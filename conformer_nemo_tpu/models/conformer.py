@@ -160,16 +160,20 @@ class RelPosMultiHeadAttention(nn.Module):
         # content score: (q + u) k^T    [B, H, T, T]
         matrix_ac = jnp.einsum("bthd,bshd->bhts", (q + pos_bias_u).astype(cfg.dtype), k)
         # position score: rel_shift((q + v) p^T)   [B, H, T, 2T-1] -> [B, H, T, T]
+        # rel_shift runs in compute dtype (it is pure data movement on the
+        # largest intermediate); the fp32 upcast happens after the slice.
         matrix_bd = jnp.einsum("bthd,phd->bhtp", (q + pos_bias_v).astype(cfg.dtype), p)
-        matrix_bd = _rel_shift(matrix_bd.astype(jnp.float32))[..., :t]
+        matrix_bd = _rel_shift(matrix_bd)[..., :t]
 
-        scores = (matrix_ac.astype(jnp.float32) + matrix_bd) / math.sqrt(dk)
+        scores = (matrix_ac.astype(jnp.float32) + matrix_bd.astype(jnp.float32)) / math.sqrt(dk)
         scores = jnp.where(att_mask[:, None, :, :], -10000.0, scores)
         attn = jax.nn.softmax(scores, axis=-1)
         attn = jnp.where(att_mask[:, None, :, :], 0.0, attn)
-        attn = nn.Dropout(cfg.dropout_att)(attn, deterministic=deterministic)
+        # dropout on the compute-dtype tensor: halves HBM traffic on the
+        # [B, H, T, T] attention probabilities
+        attn = nn.Dropout(cfg.dropout_att)(attn.astype(cfg.dtype), deterministic=deterministic)
 
-        out = jnp.einsum("bhts,bshd->bthd", attn.astype(cfg.dtype), v).reshape(b, t, h * dk)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, h * dk)
         return dense("linear_out", cfg.d_model)(out)
 
 
@@ -271,13 +275,16 @@ class ConformerLayer(nn.Module):
     def __call__(self, x, pos_emb, att_mask, pad_mask, *, deterministic: bool, train: bool):
         cfg = self.cfg
         fc = 0.5
-        drop = lambda y: nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        # dropout acts on compute-dtype tensors; residual accumulates fp32
+        drop = lambda y: nn.Dropout(cfg.dropout)(
+            y.astype(cfg.dtype), deterministic=deterministic
+        ).astype(jnp.float32)
         ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
 
         residual = x
         y = ln("norm_feed_forward1")(x)
         y = ConformerFeedForward(cfg, name="feed_forward1")(y, deterministic=deterministic)
-        residual = residual + drop(y.astype(jnp.float32)) * fc
+        residual = residual + drop(y) * fc
 
         y = ln("norm_self_att")(residual)
         if cfg.self_attention_model == "rel_pos":
@@ -288,17 +295,17 @@ class ConformerLayer(nn.Module):
             y = AbsPosMultiHeadAttention(cfg, name="self_attn")(
                 y, att_mask, deterministic=deterministic
             )
-        residual = residual + drop(y.astype(jnp.float32))
+        residual = residual + drop(y)
 
         y = ln("norm_conv")(residual)
         y = ConformerConvolution(cfg, name="conv")(
             y, pad_mask, deterministic=deterministic, train=train
         )
-        residual = residual + drop(y.astype(jnp.float32))
+        residual = residual + drop(y)
 
         y = ln("norm_feed_forward2")(residual)
         y = ConformerFeedForward(cfg, name="feed_forward2")(y, deterministic=deterministic)
-        residual = residual + drop(y.astype(jnp.float32)) * fc
+        residual = residual + drop(y) * fc
 
         return ln("norm_out")(residual)
 

@@ -88,7 +88,10 @@ def _compute_alphas(blank_lp, label_lp, t_lens, u_lens):
         alpha = jnp.where(in_lattice, alpha, _NEG_INF)
         return alpha, None
 
-    alpha, _ = jax.lax.scan(step, jnp.where(in_lattice, alpha0, _NEG_INF), jnp.arange(1, t_max + u1 - 1))
+    alpha, _ = jax.lax.scan(
+        step, jnp.where(in_lattice, alpha0, _NEG_INF),
+        jnp.arange(1, t_max + u1 - 1), unroll=4,
+    )
     return alpha
 
 
@@ -131,7 +134,7 @@ def _compute_betas(blank_lp, label_lp, t_lens, u_lens):
 
     # sweep d from large to small
     ds = jnp.arange(t_max + u1 - 2, -1, -1)
-    beta, _ = jax.lax.scan(step, beta0, ds)
+    beta, _ = jax.lax.scan(step, beta0, ds, unroll=4)
     return beta
 
 
