@@ -1,0 +1,184 @@
+"""Jasper / QuartzNet / CitriNet convolutional ASR encoder.
+
+Behavioral parity target: reference `ConvASREncoder` + `JasperBlock`
+(`/root/reference/nemo/collections/asr/modules/conv_asr.py:54-230`,
+`asr/parts/submodules/jasper.py`): a sequence of blocks, each `repeat` x
+[masked Conv1d (optionally depthwise-separable, strided/dilated) -> BN ->
+ReLU -> dropout] with optional residual projections (add / stride_add) and
+optional Squeeze-Excite; lengths follow the conv arithmetic; convolution
+inputs are zero-masked past each sample's valid length (MaskedConv1d,
+jasper.py:244-390).
+
+TPU-first: convs map to `lax.conv_general_dilated` (NTC layout), masking is
+a where(), and everything jits with static shapes. The quantization/export
+scaffolding of the reference is out of scope.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class JasperBlockConfig:
+    """One entry of the encoder's `jasper` block list (config surface of the
+    reference QuartzNet/Jasper YAMLs)."""
+
+    filters: int = 256
+    repeat: int = 1
+    kernel: int = 11
+    stride: int = 1
+    dilation: int = 1
+    dropout: float = 0.0
+    residual: bool = True
+    separable: bool = False
+    groups: int = 1
+    se: bool = False
+    se_reduction_ratio: int = 8
+    residual_mode: str = "add"  # add | stride_add
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvASREncoderConfig:
+    feat_in: int = 80
+    blocks: Sequence[JasperBlockConfig] = ()
+    dtype: Any = jnp.bfloat16
+
+
+def _same_pad(kernel: int, dilation: int) -> int:
+    return (dilation * (kernel - 1)) // 2
+
+
+def conv_out_length(lengths, kernel: int, stride: int, dilation: int):
+    pad = _same_pad(kernel, dilation)
+    return jnp.floor(
+        (lengths.astype(jnp.float32) + 2 * pad - dilation * (kernel - 1) - 1) / stride + 1
+    ).astype(jnp.int32)
+
+
+class _MaskedConv(nn.Module):
+    """Conv1d with pre-masking of padded positions (MaskedConv1d parity)."""
+
+    features: int
+    kernel: int
+    stride: int
+    dilation: int
+    separable: bool
+    groups: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        """x [B, T, C]; returns ([B, T', F], lengths')."""
+        t = x.shape[1]
+        mask = jnp.arange(t)[None, :] < lengths[:, None]
+        x = jnp.where(mask[:, :, None], x, 0.0)
+        pad = _same_pad(self.kernel, self.dilation)
+        conv = lambda name, feats, k, groups: nn.Conv(
+            feats, kernel_size=(k,), strides=(self.stride if k > 1 else 1,),
+            padding=[(pad if k > 1 else 0,) * 2],
+            kernel_dilation=(self.dilation if k > 1 else 1,),
+            feature_group_count=groups, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        if self.separable:
+            c_in = x.shape[-1]
+            x = conv("depthwise", c_in, self.kernel, c_in)(x.astype(self.dtype))
+            x = conv("pointwise", self.features, 1, 1)(x)
+        else:
+            x = conv("conv", self.features, self.kernel, self.groups)(x.astype(self.dtype))
+        return x, conv_out_length(lengths, self.kernel, self.stride, self.dilation)
+
+
+class _SqueezeExcite(nn.Module):
+    """Global (masked-mean) squeeze-excite (jasper.py:411-475)."""
+
+    channels: int
+    reduction_ratio: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        t = x.shape[1]
+        mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)
+        denom = jnp.maximum(lengths.astype(x.dtype), 1.0)[:, None]
+        pooled = jnp.sum(x * mask[:, :, None], axis=1) / denom  # [B, C]
+        h = max(1, self.channels // self.reduction_ratio)
+        y = nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(pooled)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(y)
+        gate = jax.nn.sigmoid(y.astype(jnp.float32))
+        return x * gate[:, None, :].astype(x.dtype)
+
+
+class JasperBlock(nn.Module):
+    cfg: JasperBlockConfig
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, lengths, *, train: bool):
+        cfg = self.cfg
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            dtype=jnp.float32, name=name,
+        )
+        res_input, res_lengths = x, lengths
+        for r in range(cfg.repeat):
+            stride = cfg.stride if r == 0 else 1
+            x, lengths = _MaskedConv(
+                cfg.filters, cfg.kernel, stride, cfg.dilation,
+                cfg.separable, cfg.groups, self.dtype, name=f"conv{r}",
+            )(x, lengths)
+            x = bn(f"bn{r}")(x.astype(jnp.float32))
+            last = r == cfg.repeat - 1
+            if last and cfg.residual:
+                res, _ = _MaskedConv(
+                    cfg.filters, 1, cfg.stride if cfg.residual_mode == "stride_add" else 1,
+                    1, False, 1, self.dtype, name="res_conv",
+                )(res_input, res_lengths)
+                res = bn("res_bn")(res.astype(jnp.float32))
+                if res.shape[1] != x.shape[1]:
+                    res = res[:, : x.shape[1]]
+                x = x + res
+            x = nn.relu(x)
+            x = nn.Dropout(cfg.dropout)(x.astype(self.dtype), deterministic=not train)
+            x = x.astype(jnp.float32)
+        if cfg.se:
+            x = _SqueezeExcite(cfg.filters, cfg.se_reduction_ratio, self.dtype, name="se")(
+                x, lengths
+            )
+        return x, lengths
+
+
+class ConvASREncoder(nn.Module):
+    cfg: ConvASREncoderConfig
+
+    @nn.compact
+    def __call__(self, features, lengths, *, train: bool = False):
+        """[B, D_feat, T] + lengths -> [B, C_last, T'] + lengths'."""
+        x = jnp.swapaxes(features, 1, 2).astype(jnp.float32)  # [B, T, C]
+        for i, bcfg in enumerate(self.cfg.blocks):
+            x, lengths = JasperBlock(bcfg, self.cfg.dtype, name=f"block{i}")(
+                x, lengths, train=train
+            )
+        return jnp.swapaxes(x, 1, 2), lengths
+
+
+def quartznet_15x5_blocks(feat_out: int = 1024) -> List[JasperBlockConfig]:
+    """The QuartzNet15x5 topology (reference quartznet config family)."""
+    blocks = [JasperBlockConfig(filters=256, repeat=1, kernel=33, stride=2,
+                                residual=False, separable=True, dropout=0.0)]
+    for k, f in [(33, 256), (39, 256), (51, 512), (63, 512), (75, 512)]:
+        for _ in range(3):
+            blocks.append(JasperBlockConfig(filters=f, repeat=5, kernel=k,
+                                            residual=True, separable=True))
+    blocks.append(JasperBlockConfig(filters=512, repeat=1, kernel=87,
+                                    dilation=2, residual=False, separable=True))
+    blocks.append(JasperBlockConfig(filters=feat_out, repeat=1, kernel=1,
+                                    residual=False, separable=False))
+    return blocks

@@ -1,0 +1,85 @@
+"""Jasper/QuartzNet conv encoder: shapes, lengths, masking, QuartzNet size."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conformer_nemo_tpu.models.conv_asr import (
+    ConvASREncoder,
+    ConvASREncoderConfig,
+    JasperBlockConfig,
+    conv_out_length,
+    quartznet_15x5_blocks,
+)
+
+
+def small_cfg():
+    return ConvASREncoderConfig(
+        feat_in=16,
+        blocks=(
+            JasperBlockConfig(filters=16, repeat=1, kernel=11, stride=2, residual=False, separable=True),
+            JasperBlockConfig(filters=16, repeat=2, kernel=11, residual=True, separable=True, dropout=0.0),
+            JasperBlockConfig(filters=24, repeat=1, kernel=1, residual=False),
+        ),
+        dtype=jnp.float32,
+    )
+
+
+def test_shapes_and_lengths():
+    cfg = small_cfg()
+    enc = ConvASREncoder(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+    lengths = jnp.array([64, 40])
+    variables = enc.init(jax.random.PRNGKey(0), feats, lengths, train=False)
+    out, out_len = enc.apply(variables, feats, lengths, train=False)
+    assert out.shape == (2, 24, 32)  # stride 2 in first block
+    np.testing.assert_array_equal(np.asarray(out_len), [32, 20])
+
+
+def test_masking_isolates_padding():
+    cfg = small_cfg()
+    enc = ConvASREncoder(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64))
+    lengths = jnp.array([64, 40])
+    variables = enc.init(jax.random.PRNGKey(0), feats, lengths, train=False)
+    out, out_len = enc.apply(variables, feats, lengths, train=False)
+    feats2 = feats.at[1, :, 40:].set(99.0)
+    out2, _ = enc.apply(variables, feats2, lengths, train=False)
+    valid = int(out_len[1])
+    # receptive field bleeds at the boundary; check well inside the valid region
+    np.testing.assert_allclose(
+        np.asarray(out[1, :, : valid - 8]), np.asarray(out2[1, :, : valid - 8]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_conv_out_length_formula():
+    lens = jnp.array([100, 101])
+    # k=33 s=2 d=1: pad=16 -> floor((L+32-32-1)/2+1)
+    np.testing.assert_array_equal(
+        np.asarray(conv_out_length(lens, 33, 2, 1)), [(100 - 1) // 2 + 1, (101 - 1) // 2 + 1]
+    )
+
+
+def test_quartznet_15x5_param_count():
+    # QuartzNet15x5 is ~18.9M params encoder-side (docs: 18.9M total with head)
+    blocks = quartznet_15x5_blocks()
+    cfg = ConvASREncoderConfig(feat_in=64, blocks=tuple(blocks), dtype=jnp.float32)
+    enc = ConvASREncoder(cfg)
+    feats = jnp.zeros((1, 64, 128))
+    variables = enc.init(jax.random.PRNGKey(0), feats, jnp.array([128]), train=False)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert 15e6 < n < 22e6, n / 1e6
+
+
+def test_se_block_runs():
+    cfg = ConvASREncoderConfig(
+        feat_in=8,
+        blocks=(JasperBlockConfig(filters=8, repeat=1, kernel=5, residual=True, se=True),),
+        dtype=jnp.float32,
+    )
+    enc = ConvASREncoder(cfg)
+    feats = jnp.ones((1, 8, 16))
+    variables = enc.init(jax.random.PRNGKey(0), feats, jnp.array([16]), train=False)
+    out, _ = enc.apply(variables, feats, jnp.array([16]), train=False)
+    assert out.shape == (1, 8, 16)
