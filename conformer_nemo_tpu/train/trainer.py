@@ -70,8 +70,14 @@ def make_ctc_train_step(
     cfg: CTCModelConfig,
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    state_template: Optional[TrainState] = None,
 ) -> Callable:
-    """Returns jitted step(state, batch_dict) -> (state, metrics)."""
+    """Returns jitted step(state, batch_dict) -> (state, metrics).
+
+    With a mesh, the batch is sharded over 'data'. If the mesh has a 'model'
+    axis > 1 and a state_template is given, encoder params/moments get
+    tensor-parallel shardings (parallel/sharding.py) — XLA splits the matmuls
+    and inserts the collectives."""
 
     def loss_fn(params, batch_stats, batch, rng):
         feat_rng, aug_rng, drop_rng = jax.random.split(rng, 3)
@@ -123,15 +129,20 @@ def make_ctc_train_step(
     if mesh is not None:
         batch_sh = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
-        # Batch sharded over 'data', state replicated; XLA inserts the gradient
-        # all-reduce over the mesh (ICI within a slice, DCN across).
         batch_shardings = {
             "audio": batch_sh, "audio_lens": batch_sh,
             "tokens": batch_sh, "token_lens": batch_sh,
         }
+        if state_template is not None and mesh.shape.get("model", 1) > 1:
+            from conformer_nemo_tpu.parallel.sharding import state_shardings
+
+            st_sh = state_shardings(mesh, state_template)
+        else:
+            st_sh = rep
         return jax.jit(
             step_fn,
-            in_shardings=(rep, batch_shardings),
+            in_shardings=(st_sh, batch_shardings),
+            out_shardings=(st_sh, None),
             donate_argnums=(0,),
         )
     return jax.jit(step_fn, donate_argnums=(0,))
