@@ -24,7 +24,14 @@ ITERS = 20
 
 
 def main():
+    import os
+
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_cfg

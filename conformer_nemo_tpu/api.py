@@ -77,12 +77,17 @@ class _BaseASRModel:
         sched_cfg = dict(ocfg.get("sched", {"name": "NoamAnnealing", "d_model": 256, "warmup_steps": 1000}))
         sched = make_lr_schedule(sched_cfg, ocfg.get("lr", 1.0))
         trainer_cfg = self.raw_cfg.get("trainer", {})
-        return make_optimizer(
+        opt = make_optimizer(
             ocfg.get("name", "adamw"),
             sched,
             weight_decay=float(ocfg.get("weight_decay", 0.0)),
             betas=tuple(ocfg.get("betas", (0.9, 0.98))),
             grad_clip=trainer_cfg.get("gradient_clip_val") or None,
+        )
+        from conformer_nemo_tpu.train.optim import with_grad_accumulation
+
+        return with_grad_accumulation(
+            opt, int(trainer_cfg.get("accumulate_grad_batches", 1) or 1)
         )
 
     # implemented by subclasses:
@@ -118,7 +123,10 @@ class _BaseASRModel:
         exp_manager: Optional[ExperimentManager] = None,
         val_every_n_steps: Optional[int] = None,
         log_every_n_steps: Optional[int] = None,
+        max_time_s: Optional[float] = None,
     ):
+        """max_time_s: graceful wall-clock stop with a final checkpoint — the
+        reference StatelessTimer / SLURM max-time behavior (exp_manager.py:901)."""
         m = self.raw_cfg["model"]
         tr = self.raw_cfg.get("trainer", {})
         train_manifest = train_manifest or m["train_ds"]["manifest_filepath"]
@@ -177,6 +185,10 @@ class _BaseASRModel:
                                                grad_norm=float(metrics["grad_norm"]))
                 if max_steps and step >= max_steps:
                     break
+                if max_time_s and time.time() - t0 > max_time_s:
+                    if exp_manager:
+                        exp_manager.save(self.state, step, {})
+                    return {"steps": step, "time_s": time.time() - t0, "stopped": "max_time"}
             # end of epoch: validate + checkpoint
             val = {}
             if val_loader is not None:
@@ -271,7 +283,10 @@ class ConformerCTC(_BaseASRModel):
     def _make_train_step(self, optimizer, mesh):
         from conformer_nemo_tpu.train.trainer import make_ctc_train_step
 
-        return make_ctc_train_step(self.cfg, optimizer, mesh=mesh)
+        return make_ctc_train_step(
+            self.cfg, optimizer, mesh=mesh, state_template=self.state,
+            skip_nan_grad=bool(self.raw_cfg["model"].get("skip_nan_grad", False)),
+        )
 
     def _eval_wer(self, loader):
         from conformer_nemo_tpu.train.trainer import evaluate_wer, make_ctc_eval_step

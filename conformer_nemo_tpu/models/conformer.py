@@ -135,7 +135,23 @@ def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class RelPosMultiHeadAttention(nn.Module):
-    """Multi-head self-attention with Transformer-XL relative positional terms."""
+    """Multi-head self-attention with Transformer-XL relative positional terms.
+
+    TPU-native bd computation: the reference materializes (q+v)p^T as
+    [B, H, T, 2T-1] and applies the pad/reshape rel_shift
+    (multi_head_attention.py:159-232) — on TPU that intermediate plus its
+    reshuffle costs more than the attention matmuls themselves (measured:
+    over half the encoder-forward time). Because the positional embeddings
+    are pure sinusoids, bd[i,j] = qw[i] . pe(i-j) decomposes exactly by the
+    angle-addition identities into
+
+        bd = [qs*sinI + qc*cosI | -qs*cosI + qc*sinI] @ [cosJ | sinJ]^T
+
+    — one dense [B,H,T,D] x [D,T] matmul, no 2T-1 intermediate, no shift,
+    bit-equivalent to the reference formulation (tested). The rel_shift path
+    is kept for pos-emb dropout (dropout_emb > 0), which the decomposition
+    cannot express.
+    """
 
     cfg: ConformerEncoderConfig
 
@@ -143,6 +159,7 @@ class RelPosMultiHeadAttention(nn.Module):
     def __call__(self, x, pos_emb, att_mask, *, deterministic: bool):
         cfg = self.cfg
         h, dk = cfg.n_heads, cfg.d_head
+        d_model = cfg.d_model
         dense = lambda name, feats, use_bias=True: nn.Dense(
             feats, use_bias=use_bias, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
         )
@@ -150,8 +167,9 @@ class RelPosMultiHeadAttention(nn.Module):
         q = dense("linear_q", h * dk)(x).reshape(b, t, h, dk)
         k = dense("linear_k", h * dk)(x).reshape(b, t, h, dk)
         v = dense("linear_v", h * dk)(x).reshape(b, t, h, dk)
-        # pos_emb: [2T-1, D] -> [2T-1, H, dk]
-        p = dense("linear_pos", h * dk, use_bias=False)(pos_emb).reshape(-1, h, dk)
+        w_pos = self.param(
+            "linear_pos_kernel", nn.initializers.lecun_normal(), (d_model, h * dk), jnp.float32
+        )
 
         pos_bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
         pos_bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
@@ -159,11 +177,30 @@ class RelPosMultiHeadAttention(nn.Module):
         q = q.astype(jnp.float32)
         # content score: (q + u) k^T    [B, H, T, T]
         matrix_ac = jnp.einsum("bthd,bshd->bhts", (q + pos_bias_u).astype(cfg.dtype), k)
-        # position score: rel_shift((q + v) p^T)   [B, H, T, 2T-1] -> [B, H, T, T]
-        # rel_shift runs in compute dtype (it is pure data movement on the
-        # largest intermediate); the fp32 upcast happens after the slice.
-        matrix_bd = jnp.einsum("bthd,phd->bhtp", (q + pos_bias_v).astype(cfg.dtype), p)
-        matrix_bd = _rel_shift(matrix_bd)[..., :t]
+
+        use_decomposition = cfg.dropout_emb == 0.0
+        qv = (q + pos_bias_v).astype(cfg.dtype)
+        if use_decomposition:
+            # qw[b,i,h,e] = sum_d qv[b,i,h,d] * W_pos[e,h,d]
+            w = w_pos.astype(cfg.dtype).reshape(d_model, h, dk)
+            qw = jnp.einsum("bihd,ehd->bihe", qv, w)  # [B, T, H, D]
+            half = d_model // 2
+            inv_freq = np.exp(
+                np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
+            )
+            pos = np.arange(t, dtype=np.float64)[:, None] * inv_freq[None, :]
+            sin_t = jnp.asarray(np.sin(pos), cfg.dtype)  # [T, D/2]
+            cos_t = jnp.asarray(np.cos(pos), cfg.dtype)
+            qs, qc = qw[..., 0::2], qw[..., 1::2]  # [B, T, H, D/2]
+            mod_a = qs * sin_t[:, None, :] + qc * cos_t[:, None, :]
+            mod_b = -qs * cos_t[:, None, :] + qc * sin_t[:, None, :]
+            ab = jnp.concatenate([mod_a, mod_b], axis=-1)  # [B, T, H, D]
+            cs = jnp.concatenate([cos_t, sin_t], axis=-1)  # [T, D]
+            matrix_bd = jnp.einsum("bihk,jk->bhij", ab, cs)  # [B, H, T, T]
+        else:
+            p = (pos_emb.astype(cfg.dtype) @ w_pos.astype(cfg.dtype)).reshape(-1, h, dk)
+            matrix_bd = jnp.einsum("bthd,phd->bhtp", qv, p)
+            matrix_bd = _rel_shift(matrix_bd)[..., :t]
 
         scores = (matrix_ac.astype(jnp.float32) + matrix_bd.astype(jnp.float32)) / math.sqrt(dk)
         scores = jnp.where(att_mask[:, None, :, :], -10000.0, scores)

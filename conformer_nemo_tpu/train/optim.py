@@ -39,3 +39,14 @@ def make_optimizer(
     if grad_clip and grad_clip > 0:
         opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
     return opt
+
+
+def with_grad_accumulation(
+    opt: optax.GradientTransformation, every: int
+) -> optax.GradientTransformation:
+    """Gradient accumulation (reference trainer.accumulate_grad_batches,
+    configs/conformer_ctc_bpe.yaml:167): averages grads over `every`
+    micro-batches before applying the update."""
+    if every <= 1:
+        return opt
+    return optax.MultiSteps(opt, every_k_schedule=every)

@@ -71,6 +71,7 @@ def make_ctc_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     state_template: Optional[TrainState] = None,
+    skip_nan_grad: bool = False,
 ) -> Callable:
     """Returns jitted step(state, batch_dict) -> (state, metrics).
 
@@ -113,9 +114,22 @@ def make_ctc_train_step(
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng
         )
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        if skip_nan_grad:
+            # reference skip_nan_grad semantics (configs/conformer_ctc_bpe.yaml:33,
+            # rnnt_models maybe_skip): zero the whole update when any grad is
+            # non-finite, leaving params and optimizer state untouched.
+            finite = jnp.isfinite(gnorm)
+            grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            updates, maybe_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_opt_state = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), maybe_opt_state, state.opt_state
+            )
+            updates = jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+            new_params = optax.apply_updates(state.params, updates)
+        else:
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "grad_norm": gnorm}
         new_state = state.replace(
             step=state.step + 1,

@@ -163,3 +163,28 @@ def test_subsampling_length_formulas():
     np.testing.assert_array_equal(np.asarray(calc_sub_length(lens, "vggnet", 2)), [16, 16, 11, 2])
     # subencoder (p1 k4 s2 floor): 64->32->16 ; 63->31->15 ; 41->20->10 ; 7->3->1
     np.testing.assert_array_equal(np.asarray(calc_sub_length(lens, "subencoder", 2)), [16, 15, 10, 1])
+
+
+def test_relpos_decomposition_matches_rel_shift():
+    # The sinusoidal angle-addition decomposition of the bd term must equal
+    # the reference rel_shift formulation exactly (same params, fp32).
+    from conformer_nemo_tpu.models.conformer import RelPosMultiHeadAttention
+
+    cfg_dec = small_cfg(dropout_emb=0.0)          # decomposition path
+    cfg_ref = small_cfg(dropout_emb=0.1)          # rel_shift path (dropout off in eval)
+    t, b = 12, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, cfg_dec.d_model))
+    pos_emb = jnp.asarray(sinusoidal_rel_pos_emb(t, cfg_dec.d_model))
+    att_mask = jnp.zeros((b, t, t), bool)
+
+    mod_dec = RelPosMultiHeadAttention(cfg_dec)
+    variables = mod_dec.init(jax.random.PRNGKey(1), x, pos_emb, att_mask, deterministic=True)
+    # give pos biases nonzero values so the bd term is exercised
+    variables = jax.tree.map(
+        lambda p: p + 0.1 if p.ndim == 2 and p.shape == (cfg_dec.n_heads, cfg_dec.d_head) else p,
+        variables,
+    )
+    out_dec = mod_dec.apply(variables, x, pos_emb, att_mask, deterministic=True)
+    mod_ref = RelPosMultiHeadAttention(cfg_ref)
+    out_ref = mod_ref.apply(variables, x, pos_emb, att_mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_dec), np.asarray(out_ref), rtol=1e-4, atol=1e-4)
