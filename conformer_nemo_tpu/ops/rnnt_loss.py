@@ -37,105 +37,126 @@ def _lse2(a, b):
     return jnp.where(bad, _NEG_INF, m_safe + jnp.log(ea + eb))
 
 
-def _gather_diag(x: jnp.ndarray, d, t_idx: jnp.ndarray, u_shift: int) -> jnp.ndarray:
-    """x: [B, T, U1]; returns x[:, t, d - t + u_shift] for each t, masked to
-    _NEG_INF outside [0, U1). Shapes: t_idx [T] static iota, d scalar traced."""
+def _skew(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, U1] -> skewed [B, T, W] with W = T + U1 where
+    out[b, t, t + u] = x[b, t, u]; off-diagonal cells are _NEG_INF.
+
+    One-time layout change so every anti-diagonal d of the lattice becomes a
+    contiguous COLUMN out[:, :, d] — the wavefront scan then touches O(B*T)
+    cells per step instead of re-gathering the whole lattice.
+    """
     b, t_max, u1 = x.shape
-    u_idx = d - t_idx + u_shift  # [T]
+    w = t_max + u1
+    u_idx = jnp.arange(w)[None, :] - jnp.arange(t_max)[:, None]  # [T, W]
     valid = (u_idx >= 0) & (u_idx < u1)
     u_safe = jnp.clip(u_idx, 0, u1 - 1)
-    vals = jnp.take_along_axis(x, u_safe[None, :, None].repeat(b, 0), axis=2)[..., 0]
-    return jnp.where(valid[None, :], vals, _NEG_INF)
+    out = jnp.take_along_axis(
+        x[:, :, :], jnp.broadcast_to(u_safe[None], (b, t_max, w)), axis=2
+    )
+    return jnp.where(valid[None], out, _NEG_INF)
+
+
+def _unskew(cols: jnp.ndarray, t_max: int, u1: int) -> jnp.ndarray:
+    """cols [B, T, W] (skewed) -> lattice [B, T, U1]."""
+    b = cols.shape[0]
+    d_idx = jnp.arange(u1)[None, :] + jnp.arange(t_max)[:, None]  # [T, U1]
+    return jnp.take_along_axis(
+        cols, jnp.broadcast_to(d_idx[None], (b, t_max, u1)), axis=2
+    )
 
 
 def _compute_alphas(blank_lp, label_lp, t_lens, u_lens):
-    """alpha lattice [B, T, U+1] via scan over anti-diagonals d = t + u.
+    """alpha lattice [B, T, U+1] via a column scan over the skewed layout.
 
     blank_lp: [B, T, U+1] log p(blank | t, u); label_lp: [B, T, U+1] with
     label_lp[:, t, u] = log p(y_{u+1} | t, u) (last column invalid/-inf).
+
+    Recurrence in skewed coordinates (d = t + u):
+      col_d[t] = lse( col_{d-1}[t-1] + blank_skew[t-1, d-1],
+                      col_{d-1}[t]   + label_skew[t, d-1] )
+    — both parents live in the previous column; each step is a shift + two
+    adds + one logaddexp over [B, T].
     """
     b, t_max, u1 = blank_lp.shape
+    w = t_max + u1
     t_idx = jnp.arange(t_max)
 
-    in_lattice = (
+    # lattice validity per (b, t, u)
+    valid_tu = (
         (t_idx[None, :, None] < t_lens[:, None, None])
         & (jnp.arange(u1)[None, None, :] <= u_lens[:, None, None])
     )
 
-    alpha0 = jnp.full((b, t_max, u1), _NEG_INF)
-    alpha0 = alpha0.at[:, 0, 0].set(0.0)
+    bl = _skew(jnp.where(valid_tu, blank_lp, _NEG_INF))  # [B, T, W]
+    lb = _skew(jnp.where(valid_tu, label_lp, _NEG_INF))
 
-    def step(alpha, d):
-        # alpha[t, u] with t+u == d:
-        #   from-left  (t-1, u): alpha[t-1, u] + blank_lp[t-1, u]
-        #   from-below (t, u-1): alpha[t, u-1] + label_lp[t, u-1]
-        a_tm1_u = jnp.pad(alpha, ((0, 0), (1, 0), (0, 0)), constant_values=_NEG_INF)[:, :t_max]
-        b_tm1_u = jnp.pad(blank_lp, ((0, 0), (1, 0), (0, 0)), constant_values=_NEG_INF)[:, :t_max]
-        from_left = _gather_diag(a_tm1_u + b_tm1_u, d, t_idx, 0)
+    col0 = jnp.full((b, t_max), _NEG_INF).at[:, 0].set(0.0)
 
-        a_t_um1 = jnp.pad(alpha, ((0, 0), (0, 0), (1, 0)), constant_values=_NEG_INF)[:, :, :u1]
-        y_t_um1 = jnp.pad(label_lp, ((0, 0), (0, 0), (1, 0)), constant_values=_NEG_INF)[:, :, :u1]
-        from_below = _gather_diag(a_t_um1 + y_t_um1, d, t_idx, 0)
+    def step(col, d):
+        bl_prev = jax.lax.dynamic_index_in_dim(bl, d - 1, axis=2, keepdims=False)
+        lb_prev = jax.lax.dynamic_index_in_dim(lb, d - 1, axis=2, keepdims=False)
+        from_left = jnp.pad(col + bl_prev, ((0, 0), (1, 0)), constant_values=_NEG_INF)[:, :t_max]
+        from_below = col + lb_prev
+        new = _lse2(from_left, from_below)
+        return new, new
 
-        new_diag = _lse2(from_left, from_below)  # [B, T] entries (t, d-t)
-
-        # Scatter the diagonal back into the lattice.
-        u_idx = d - t_idx
-        valid = (u_idx >= 0) & (u_idx < u1)
-        u_safe = jnp.clip(u_idx, 0, u1 - 1)
-        onehot = (jnp.arange(u1)[None, :] == u_safe[:, None]) & valid[:, None]  # [T, U1]
-        alpha = jnp.where(onehot[None, :, :], new_diag[:, :, None], alpha)
-        alpha = jnp.where(in_lattice, alpha, _NEG_INF)
-        return alpha, None
-
-    alpha, _ = jax.lax.scan(
-        step, jnp.where(in_lattice, alpha0, _NEG_INF),
-        jnp.arange(1, t_max + u1 - 1), unroll=4,
-    )
-    return alpha
+    ds = jnp.arange(1, t_max + u1 - 1)
+    _, cols = jax.lax.scan(step, col0, ds, unroll=8)  # [D, B, T]
+    all_cols = jnp.concatenate([col0[None], cols], axis=0)  # [w-1, B, T], d=0..w-2
+    # pad to full width W and reorder to [B, T, W]
+    all_cols = jnp.moveaxis(all_cols, 0, 2)  # [B, T, D+1]
+    pad_w = w - all_cols.shape[2]
+    if pad_w > 0:
+        all_cols = jnp.pad(all_cols, ((0, 0), (0, 0), (0, pad_w)), constant_values=_NEG_INF)
+    alpha = _unskew(all_cols, t_max, u1)
+    return jnp.where(valid_tu, alpha, _NEG_INF)
 
 
 def _compute_betas(blank_lp, label_lp, t_lens, u_lens):
-    """beta lattice [B, T, U+1]; beta[T-1, U] = blank_lp[T-1, U] (per-sample
-    T = t_lens, U = u_lens). beta[0, 0] is the total log-likelihood."""
+    """beta lattice [B, T, U+1] via the reverse column scan; beta[0,0] is the
+    total log-likelihood.
+
+    Recurrence: beta[t,u] = lse(blank_lp[t,u] + beta[t+1,u],
+                                label_lp[t,u] + beta[t,u+1]); in skewed
+    coordinates both children live in column d+1 (shift up for the blank
+    child). The per-sample terminal cell (t_lens-1, u_lens) seeds its column.
+    """
     b, t_max, u1 = blank_lp.shape
+    w = t_max + u1
     t_idx = jnp.arange(t_max)
-    u_row = jnp.arange(u1)[None, None, :]
 
-    in_lattice = (
+    valid_tu = (
         (t_idx[None, :, None] < t_lens[:, None, None])
-        & (u_row <= u_lens[:, None, None])
+        & (jnp.arange(u1)[None, None, :] <= u_lens[:, None, None])
     )
-
     is_terminal = (
         (t_idx[None, :, None] == (t_lens - 1)[:, None, None])
-        & (u_row == u_lens[:, None, None])
+        & (jnp.arange(u1)[None, None, :] == u_lens[:, None, None])
     )
-    beta0 = jnp.where(is_terminal, blank_lp, _NEG_INF)
-    beta0 = jnp.where(in_lattice, beta0, _NEG_INF)
 
-    def step(beta, d):
-        # beta[t, u] = lse(blank_lp[t,u] + beta[t+1,u], label_lp[t,u] + beta[t,u+1])
-        b_tp1_u = jnp.pad(beta, ((0, 0), (0, 1), (0, 0)), constant_values=_NEG_INF)[:, 1:]
-        go_right = blank_lp + b_tp1_u
-        b_t_up1 = jnp.pad(beta, ((0, 0), (0, 0), (0, 1)), constant_values=_NEG_INF)[:, :, 1:]
-        go_up = label_lp + b_t_up1
-        new = _lse2(
-            _gather_diag(go_right, d, t_idx, 0), _gather_diag(go_up, d, t_idx, 0)
-        )
+    bl = _skew(jnp.where(valid_tu, blank_lp, _NEG_INF))
+    lb = _skew(jnp.where(valid_tu, label_lp, _NEG_INF))
+    # terminal seed in skewed coords: column d* = t_lens-1 + u_lens, row t_lens-1
+    term_skew = _skew(jnp.where(is_terminal, blank_lp, _NEG_INF))
 
-        u_idx = d - t_idx
-        valid = (u_idx >= 0) & (u_idx < u1)
-        u_safe = jnp.clip(u_idx, 0, u1 - 1)
-        onehot = (jnp.arange(u1)[None, :] == u_safe[:, None]) & valid[:, None]
-        # Keep the terminal-cell initialization (don't overwrite it).
-        upd = jnp.where(onehot[None, :, :] & ~is_terminal, new[:, :, None], beta)
-        return jnp.where(in_lattice, upd, _NEG_INF), None
+    def step(col, d):
+        # children in column d+1 of the running recursion = `col`
+        bl_d = jax.lax.dynamic_index_in_dim(bl, d, axis=2, keepdims=False)
+        lb_d = jax.lax.dynamic_index_in_dim(lb, d, axis=2, keepdims=False)
+        # blank child (t+1, u): skew row t+1, col d+1 -> shift col up by one
+        blank_child = jnp.pad(col, ((0, 0), (0, 1)), constant_values=_NEG_INF)[:, 1:]
+        new = _lse2(bl_d + blank_child, lb_d + col)
+        # seed/overwrite the terminal cell of this column
+        seed = jax.lax.dynamic_index_in_dim(term_skew, d, axis=2, keepdims=False)
+        new = jnp.maximum(new, seed)  # seed is -inf except at the terminal cell
+        return new, new
 
-    # sweep d from large to small
-    ds = jnp.arange(t_max + u1 - 2, -1, -1)
-    beta, _ = jax.lax.scan(step, beta0, ds, unroll=4)
-    return beta
+    colW = jnp.full((b, t_max), _NEG_INF)
+    ds = jnp.arange(w - 1, -1, -1)
+    _, cols = jax.lax.scan(step, colW, ds, unroll=8)  # [W, B, T], order d=W-1..0
+    all_cols = jnp.moveaxis(cols[::-1], 0, 2)  # [B, T, W] with d ascending
+    beta = _unskew(all_cols, t_max, u1)
+    return jnp.where(valid_tu, beta, _NEG_INF)
 
 
 def _prep(logits, targets, blank_id):
