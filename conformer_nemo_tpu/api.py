@@ -367,7 +367,10 @@ class ConformerTransducer(_BaseASRModel):
     def _make_train_step(self, optimizer, mesh):
         from conformer_nemo_tpu.train.rnnt_trainer import make_rnnt_train_step
 
-        return make_rnnt_train_step(self.cfg, optimizer, mesh=mesh)
+        return make_rnnt_train_step(
+            self.cfg, optimizer, mesh=mesh, state_template=self.state,
+            skip_nan_grad=bool(self.raw_cfg["model"].get("skip_nan_grad", False)),
+        )
 
     def _eval_wer(self, loader):
         from conformer_nemo_tpu.train.rnnt_trainer import evaluate_rnnt_wer, make_rnnt_eval_step

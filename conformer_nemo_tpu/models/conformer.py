@@ -64,6 +64,7 @@ class ConformerEncoderConfig:
     dropout_emb: float = 0.0
     dropout_att: float = 0.1
     dtype: Any = jnp.bfloat16  # compute dtype; params always fp32
+    use_flash_attention: bool = True  # Pallas kernel when no att-dropout/banding
 
     @property
     def d_ff(self) -> int:
@@ -156,7 +157,7 @@ class RelPosMultiHeadAttention(nn.Module):
     cfg: ConformerEncoderConfig
 
     @nn.compact
-    def __call__(self, x, pos_emb, att_mask, *, deterministic: bool):
+    def __call__(self, x, pos_emb, att_mask, *, deterministic: bool, lengths=None):
         cfg = self.cfg
         h, dk = cfg.n_heads, cfg.d_head
         d_model = cfg.d_model
@@ -175,16 +176,15 @@ class RelPosMultiHeadAttention(nn.Module):
         pos_bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
 
         q = q.astype(jnp.float32)
-        # content score: (q + u) k^T    [B, H, T, T]
-        matrix_ac = jnp.einsum("bthd,bshd->bhts", (q + pos_bias_u).astype(cfg.dtype), k)
+        qu = (q + pos_bias_u).astype(cfg.dtype)
+        qv = (q + pos_bias_v).astype(cfg.dtype)
 
         use_decomposition = cfg.dropout_emb == 0.0
-        qv = (q + pos_bias_v).astype(cfg.dtype)
+        ab = cs = None
         if use_decomposition:
             # qw[b,i,h,e] = sum_d qv[b,i,h,d] * W_pos[e,h,d]
             w = w_pos.astype(cfg.dtype).reshape(d_model, h, dk)
             qw = jnp.einsum("bihd,ehd->bihe", qv, w)  # [B, T, H, D]
-            half = d_model // 2
             inv_freq = np.exp(
                 np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
             )
@@ -196,6 +196,47 @@ class RelPosMultiHeadAttention(nn.Module):
             mod_b = -qs * cos_t[:, None, :] + qc * sin_t[:, None, :]
             ab = jnp.concatenate([mod_a, mod_b], axis=-1)  # [B, T, H, D]
             cs = jnp.concatenate([cos_t, sin_t], axis=-1)  # [T, D]
+
+        flash_ok = (
+            cfg.use_flash_attention
+            and use_decomposition
+            and lengths is not None
+            and (deterministic or cfg.dropout_att == 0.0)
+            and tuple(cfg.att_context_size) == (-1, -1)
+        )
+        if flash_ok:
+            # Fold content + positional terms into one extended-depth QK^T:
+            # Qs = [q+u | ab], Ks = [k | cs] -> Pallas flash kernel, no [T,T]
+            # HBM materialization.
+            from conformer_nemo_tpu.ops.pallas.flash_attention import flash_attention
+
+            qs_full = jnp.concatenate([qu, ab], axis=-1)  # [B, T, H, dk+D]
+            cs_b = jnp.broadcast_to(
+                cs[None, :, None, :], (b, t, h, d_model)
+            ).astype(cfg.dtype)
+            ks_full = jnp.concatenate([k, cs_b], axis=-1)
+            # pad T to a tile boundary (padded keys are masked by lens; padded
+            # query rows are sliced away)
+            t_pad = -t % 128
+            to_bh = lambda a: jnp.pad(
+                jnp.transpose(a, (0, 2, 1, 3)).reshape(b * h, t, a.shape[-1]),
+                ((0, 0), (0, t_pad), (0, 0)),
+            )
+            lens_rep = jnp.repeat(lengths.astype(jnp.int32), h)
+            interpret = jax.default_backend() == "cpu"
+            o = flash_attention(
+                to_bh(qs_full), to_bh(ks_full), to_bh(v), lens_rep,
+                256, 512, 1.0 / math.sqrt(dk), interpret,
+            )[:, :t]
+            out = o.reshape(b, h, t, dk).transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+            out = jnp.where(
+                jnp.arange(t)[None, :, None] < lengths[:, None, None], out, 0.0
+            )
+            return dense("linear_out", cfg.d_model)(out)
+
+        # dense-score path
+        matrix_ac = jnp.einsum("bthd,bshd->bhts", qu, k)
+        if use_decomposition:
             matrix_bd = jnp.einsum("bihk,jk->bhij", ab, cs)  # [B, H, T, T]
         else:
             p = (pos_emb.astype(cfg.dtype) @ w_pos.astype(cfg.dtype)).reshape(-1, h, dk)
@@ -309,7 +350,10 @@ class ConformerLayer(nn.Module):
     cfg: ConformerEncoderConfig
 
     @nn.compact
-    def __call__(self, x, pos_emb, att_mask, pad_mask, *, deterministic: bool, train: bool):
+    def __call__(
+        self, x, pos_emb, att_mask, pad_mask, *, deterministic: bool, train: bool,
+        lengths=None,
+    ):
         cfg = self.cfg
         fc = 0.5
         # dropout acts on compute-dtype tensors; residual accumulates fp32
@@ -326,7 +370,7 @@ class ConformerLayer(nn.Module):
         y = ln("norm_self_att")(residual)
         if cfg.self_attention_model == "rel_pos":
             y = RelPosMultiHeadAttention(cfg, name="self_attn")(
-                y, pos_emb, att_mask, deterministic=deterministic
+                y, pos_emb, att_mask, deterministic=deterministic, lengths=lengths
             )
         else:
             y = AbsPosMultiHeadAttention(cfg, name="self_attn")(
@@ -495,7 +539,8 @@ class ConformerEncoder(nn.Module):
 
         for i in range(cfg.n_layers):
             x = ConformerLayer(cfg, name=f"layers_{i}")(
-                x, pos_emb, att_mask, pad_mask, deterministic=deterministic, train=train
+                x, pos_emb, att_mask, pad_mask, deterministic=deterministic, train=train,
+                lengths=out_lengths,
             )
 
         if cfg.feat_out > 0 and cfg.feat_out != cfg.d_model:

@@ -59,6 +59,8 @@ def make_rnnt_train_step(
     cfg: RNNTTrainConfig,
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    state_template: Optional[TrainState] = None,
+    skip_nan_grad: bool = False,
 ) -> Callable:
     model = RNNTModel(cfg.model)
 
@@ -107,9 +109,19 @@ def make_rnnt_train_step(
                 return g
 
             grads = _map_with_path(add_noise, grads)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        gnorm = optax.global_norm(grads)
+        if skip_nan_grad:
+            finite = jnp.isfinite(gnorm)
+            grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            updates, maybe_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_opt_state = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), maybe_opt, state.opt_state
+            )
+            updates = jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        else:
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics = {"loss": loss, "grad_norm": gnorm}
         return (
             state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_stats,
@@ -122,7 +134,16 @@ def make_rnnt_train_step(
         batch_sh = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
         shardings = {k: batch_sh for k in ("audio", "audio_lens", "tokens", "token_lens")}
-        return jax.jit(step_fn, in_shardings=(rep, shardings), donate_argnums=(0,))
+        if state_template is not None and mesh.shape.get("model", 1) > 1:
+            from conformer_nemo_tpu.parallel.sharding import state_shardings
+
+            st_sh = state_shardings(mesh, state_template)
+        else:
+            st_sh = rep
+        return jax.jit(
+            step_fn, in_shardings=(st_sh, shardings), out_shardings=(st_sh, None),
+            donate_argnums=(0,),
+        )
     return jax.jit(step_fn, donate_argnums=(0,))
 
 

@@ -1,0 +1,69 @@
+"""Pallas flash attention: interpret-mode parity vs naive attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conformer_nemo_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def naive_attention(qs, ks, v, lens, scale):
+    s = jnp.einsum("btd,bsd->bts", qs, ks).astype(jnp.float32) * scale
+    t = qs.shape[1]
+    valid = jnp.arange(t)[None, None, :] < lens[:, None, None]
+    s = jnp.where(valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(valid, p, 0.0)
+    return jnp.einsum("bts,bsd->btd", p, v)
+
+
+@pytest.mark.parametrize("t,d1,dv", [(64, 32, 16), (128, 24, 24)])
+def test_flash_matches_naive(t, d1, dv):
+    rng = np.random.RandomState(0)
+    bh = 4
+    qs = jnp.asarray(rng.randn(bh, t, d1).astype(np.float32))
+    ks = jnp.asarray(rng.randn(bh, t, d1).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, t, dv).astype(np.float32))
+    lens = jnp.array([t, t - 5, t // 2, 3], jnp.int32)
+    scale = 1.0 / np.sqrt(d1)
+
+    out = flash_attention(qs, ks, v, lens, 32, 32, scale, True)
+    ref = naive_attention(qs, ks, v, lens, scale)
+    for b in range(bh):
+        l = int(lens[b])
+        np.testing.assert_allclose(
+            np.asarray(out[b, :l]), np.asarray(ref[b, :l]), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_flash_gradients_match_naive():
+    rng = np.random.RandomState(1)
+    bh, t, d1, dv = 2, 32, 16, 16
+    qs = jnp.asarray(rng.randn(bh, t, d1).astype(np.float32))
+    ks = jnp.asarray(rng.randn(bh, t, d1).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, t, dv).astype(np.float32))
+    lens = jnp.array([t, t - 7], jnp.int32)
+    scale = 0.25
+    # weight only valid query rows so garbage rows don't contribute
+    wmask = (jnp.arange(t)[None, :] < lens[:, None])[..., None].astype(jnp.float32)
+
+    def loss_flash(qs, ks, v):
+        return jnp.sum(flash_attention(qs, ks, v, lens, 16, 16, scale, True) * wmask)
+
+    def loss_naive(qs, ks, v):
+        return jnp.sum(naive_attention(qs, ks, v, lens, scale) * wmask)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(qs, ks, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(qs, ks, v)
+    for a, b in zip(g_flash, g_naive):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_fully_masked_row():
+    # lens = 0 -> output rows must be finite (zeros), not NaN
+    qs = jnp.ones((1, 16, 8))
+    ks = jnp.ones((1, 16, 8))
+    v = jnp.ones((1, 16, 8))
+    out = flash_attention(qs, ks, v, jnp.array([0], jnp.int32), 16, 16, 1.0, True)
+    assert np.isfinite(np.asarray(out)).all()
