@@ -64,7 +64,10 @@ class ConformerEncoderConfig:
     dropout_emb: float = 0.0
     dropout_att: float = 0.1
     dtype: Any = jnp.bfloat16  # compute dtype; params always fp32
-    use_flash_attention: bool = True  # Pallas kernel when no att-dropout/banding
+    # Pallas flash kernel (no att-dropout/banding only). Wins for long T /
+    # HBM-constrained runs; at LibriSpeech lengths (~376 frames) the dense
+    # decomposition path measures faster (27ms vs 37ms fwd), so default off.
+    use_flash_attention: bool = False
 
     @property
     def d_ff(self) -> int:
