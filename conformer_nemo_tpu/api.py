@@ -295,6 +295,22 @@ class ConformerCTC(_BaseASRModel):
             self._eval_step = make_ctc_eval_step(self.cfg)
         return evaluate_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step)
 
+    def change_vocabulary(self, tokenizer):
+        """Swap tokenizer + decoder head for fine-tuning on a new vocabulary
+        (reference change_vocabulary, ctc_models.py:320): encoder params are
+        kept, the CTC head is re-initialized at the new size."""
+        old_params = self.state.params if self.state is not None else None
+        self.tokenizer = tokenizer
+        self.cfg = dataclasses.replace(self.cfg, num_classes=tokenizer.vocab_size)
+        self._eval_step = None
+        optimizer = self._make_optimizer()
+        new_state = self._init_state(optimizer)
+        if old_params is not None:
+            params = dict(new_state.params)
+            params["encoder"] = old_params["encoder"]
+            new_state = new_state.replace(params=params)
+        self.state = new_state
+
     def _decode_audio_batch(self, audio, lens) -> List[str]:
         from conformer_nemo_tpu.decode.ctc_greedy import collapse_ctc_ids
         from conformer_nemo_tpu.train.trainer import make_ctc_eval_step

@@ -68,6 +68,9 @@ class ConformerEncoderConfig:
     # HBM-constrained runs; at LibriSpeech lengths (~376 frames) the dense
     # decomposition path measures faster (27ms vs 37ms fwd), so default off.
     use_flash_attention: bool = False
+    # rematerialize each layer in backward (jax.checkpoint): trades ~30% more
+    # FLOPs for O(layers) less activation HBM — enables bigger batches
+    remat: bool = False
 
     @property
     def d_ff(self) -> int:
@@ -540,8 +543,13 @@ class ConformerEncoder(nn.Module):
 
         pad_mask, att_mask = make_masks(cfg, t, out_lengths)
 
+        layer_cls = ConformerLayer
+        if cfg.remat:
+            layer_cls = nn.remat(
+                ConformerLayer, static_argnums=(), prevent_cse=False,
+            )
         for i in range(cfg.n_layers):
-            x = ConformerLayer(cfg, name=f"layers_{i}")(
+            x = layer_cls(cfg, name=f"layers_{i}")(
                 x, pos_emb, att_mask, pad_mask, deterministic=deterministic, train=train,
                 lengths=out_lengths,
             )

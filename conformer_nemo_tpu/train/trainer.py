@@ -195,6 +195,7 @@ def evaluate_wer(
     if eval_step is None:
         eval_step = make_ctc_eval_step(cfg)
     tot_edits, tot_words, tot_loss, n_batches = 0, 0, 0.0, 0
+    example = None  # (reference, prediction) pair — log_prediction parity (wer.py:252)
     for batch in loader:
         bd = {
             "audio": batch.audio, "audio_lens": batch.audio_lens,
@@ -210,9 +211,12 @@ def evaluate_wer(
         tot_words += w
         tot_loss += float(loss)
         n_batches += 1
+        if example is None and refs:
+            example = (refs[0], hyps[0])
     return {
         "wer": tot_edits / max(tot_words, 1),
         "loss": tot_loss / max(n_batches, 1),
         "edits": tot_edits,
         "words": tot_words,
+        "example": example,
     }

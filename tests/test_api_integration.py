@@ -144,3 +144,20 @@ def test_cli_fast_dev_run(corpus):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "done:" in proc.stdout
+
+
+def test_change_vocabulary(corpus):
+    import jax.numpy as jnp
+    from conformer_nemo_tpu.api import ConformerCTC
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    model = ConformerCTC.from_config_file(corpus["cfg"], dtype=jnp.float32)
+    model.state = model._init_state(model._make_optimizer())
+    old_enc = model.state.params["encoder"]
+    new_tok = CharTokenizer([" ", "a", "b", "c", "d"])
+    model.change_vocabulary(new_tok)
+    assert model.cfg.num_classes == 5
+    import jax, numpy as np
+    a = jax.tree.leaves(old_enc)[0]
+    b = jax.tree.leaves(model.state.params["encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -89,3 +89,20 @@ def test_train_step_on_mesh():
     batch = shard_batch(mesh, batch)
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_encoder_matches():
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg_remat = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder, remat=True)
+    )
+    sched = make_lr_schedule({"name": "NoamAnnealing", "d_model": 32, "warmup_steps": 10}, 0.5)
+    opt = make_optimizer("adamw", sched, weight_decay=0.0, grad_clip=1.0)
+    state = init_ctc_state(cfg, opt, jax.random.PRNGKey(0), example_feat_shape=(1, 32, 64))
+    batch = synth_batch()
+    s1, m1 = make_ctc_train_step(cfg, opt)(state, batch)
+    state2 = init_ctc_state(cfg_remat, opt, jax.random.PRNGKey(0), example_feat_shape=(1, 32, 64))
+    s2, m2 = make_ctc_train_step(cfg_remat, opt)(state2, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4)
