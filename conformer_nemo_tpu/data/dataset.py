@@ -120,9 +120,25 @@ class BucketedLoader:
         process_count: int = 1,
         bucketing_strategy: str = "synced_randomized",
         pad_id: int = 0,
+        bucketing_batch_size=None,
     ):
+        """bucketing_batch_size: per-bucket batch sizes (reference
+        calc_bucketing_batch_sizes, audio_to_text_dataset.py:405): an int
+        (scale factor against the longest bucket — shorter buckets get
+        proportionally larger batches) or an explicit list per bucket."""
         self.ds = dataset
         self.batch_size = batch_size
+        n_buckets = len(dataset.boundaries)
+        if bucketing_batch_size is None:
+            self.bucket_batch = [batch_size] * n_buckets
+        elif isinstance(bucketing_batch_size, int):
+            longest = dataset.boundaries[-1]
+            self.bucket_batch = [
+                max(1, int(bucketing_batch_size * longest / b)) for b in dataset.boundaries
+            ]
+        else:
+            assert len(bucketing_batch_size) == n_buckets
+            self.bucket_batch = [int(x) for x in bucketing_batch_size]
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
@@ -148,7 +164,7 @@ class BucketedLoader:
         for idx in order:
             b = self.ds.bucket_of[idx]
             pending.setdefault(b, []).append(int(idx))
-            if len(pending[b]) == self.batch_size:
+            if len(pending[b]) == self.bucket_batch[b]:
                 batches.append((b, pending.pop(b)))
         if not self.drop_last:
             for b, idxs in pending.items():
@@ -163,7 +179,7 @@ class BucketedLoader:
     def _collate(self, bucket: int, idxs: List[int]) -> Batch:
         t_cap = self.ds.boundaries[bucket]
         u_cap = self.ds.token_caps[bucket]
-        bsz = self.batch_size  # pad batch dim too: static shapes
+        bsz = self.bucket_batch[bucket]  # pad batch dim too: static shapes
         audio = np.zeros((bsz, t_cap), dtype=np.float32)
         audio_lens = np.zeros((bsz,), dtype=np.int32)
         tokens = np.full((bsz, u_cap), self.pad_id, dtype=np.int32)

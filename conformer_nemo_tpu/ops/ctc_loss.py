@@ -86,7 +86,7 @@ def ctc_forward_neg_log_likelihood(
         return new, None
 
     # unroll amortizes per-step scan overhead; each step is tiny VPU work
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max), unroll=8)
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max), unroll=4)
 
     # Final: logsumexp of alpha at s = S-1 and S-2 (S = 2U+1).
     last = jnp.take_along_axis(alpha, (s_len - 1).astype(jnp.int32), axis=1)[:, 0]

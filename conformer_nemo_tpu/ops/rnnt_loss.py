@@ -101,7 +101,7 @@ def _compute_alphas(blank_lp, label_lp, t_lens, u_lens):
         return new, new
 
     ds = jnp.arange(1, t_max + u1 - 1)
-    _, cols = jax.lax.scan(step, col0, ds, unroll=8)  # [D, B, T]
+    _, cols = jax.lax.scan(step, col0, ds, unroll=2)  # [D, B, T]
     all_cols = jnp.concatenate([col0[None], cols], axis=0)  # [w-1, B, T], d=0..w-2
     # pad to full width W and reorder to [B, T, W]
     all_cols = jnp.moveaxis(all_cols, 0, 2)  # [B, T, D+1]
@@ -153,7 +153,7 @@ def _compute_betas(blank_lp, label_lp, t_lens, u_lens):
 
     colW = jnp.full((b, t_max), _NEG_INF)
     ds = jnp.arange(w - 1, -1, -1)
-    _, cols = jax.lax.scan(step, colW, ds, unroll=8)  # [W, B, T], order d=W-1..0
+    _, cols = jax.lax.scan(step, colW, ds, unroll=2)  # [W, B, T], order d=W-1..0
     all_cols = jnp.moveaxis(cols[::-1], 0, 2)  # [B, T, W] with d ascending
     beta = _unskew(all_cols, t_max, u1)
     return jnp.where(valid_tu, beta, _NEG_INF)

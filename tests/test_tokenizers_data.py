@@ -149,3 +149,15 @@ def test_bucket_boundaries_monotone():
     bounds = make_bucket_boundaries([0.5, 1.0, 2.0, 4.0, 8.0, 16.0], 4)
     assert bounds == sorted(set(bounds))
     assert all(b % 1600 == 0 for b in bounds)
+
+
+def test_bucketing_batch_size_scaling(tiny_corpus):
+    tok = CharTokenizer([" ", "a", "b"])
+    samples = read_manifest(tiny_corpus)
+    ds = BucketedAudioTextDataset(samples, tok, n_buckets=2)
+    loader = BucketedLoader(ds, batch_size=2, shuffle=False, bucketing_batch_size=2)
+    # longest bucket gets batch 2; shorter buckets get proportionally more
+    assert loader.bucket_batch[-1] == 2
+    assert loader.bucket_batch[0] >= 2
+    total = sum(int((b.audio_lens > 0).sum()) for b in loader)
+    assert total == len(samples)
