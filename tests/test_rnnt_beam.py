@@ -73,3 +73,21 @@ def test_nbest_return(overfit_model):
     assert len(nbest[0]) >= 1
     scores = [h.score for h in nbest[0]]
     assert scores == sorted(scores, reverse=True) or True  # sorted by norm score
+
+
+@pytest.mark.parametrize("strategy", ["greedy_batch", "beam", "alsd"])
+def test_decoding_facade(overfit_model, strategy):
+    from conformer_nemo_tpu.decode.rnnt_decoding import RNNTDecoding
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    model, variables, enc, enc_lens, targets = overfit_model
+    tok = CharTokenizer(list("abcdef")[:V])
+    dec = RNNTDecoding(
+        model, variables, tok,
+        {"strategy": strategy, "greedy": {"max_symbols": 3},
+         "beam": {"beam_size": 2, "alsd_max_target_len": 0.5}},
+    )
+    ids = dec.decode(enc, enc_lens)
+    assert ids[0] == targets[0].tolist(), (strategy, ids[0])
+    texts = dec.decode_to_text(enc, enc_lens)
+    assert isinstance(texts[0], str) and len(texts[0]) > 0
