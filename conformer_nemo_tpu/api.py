@@ -228,6 +228,38 @@ class _BaseASRModel:
         save_portable(path, self.raw_cfg, self.state.params, artifacts)
 
 
+def _restore_portable_impl(cls, path: str, dtype):
+    """Shared portable-archive restore for both model classes."""
+    config, params, artifacts = load_portable(path)
+    m = config["model"]
+    if "labels" in m and m.get("labels"):
+        tokenizer = CharTokenizer(m["labels"])
+    elif "tokenizer" in artifacts:
+        from conformer_nemo_tpu.data.tokenizers import HFTokenizer
+
+        tokenizer = HFTokenizer(artifacts["tokenizer"])
+    else:
+        raise ValueError("no tokenizer artifact in portable archive")
+    model = cls(config, tokenizer, dtype=dtype)
+    state = model._init_state(model._make_optimizer())
+    from flax import serialization
+
+    params = serialization.from_state_dict(state.params, params)
+    model.state = state.replace(params=params)
+    return model
+
+
+def _tokenizer_from_model_cfg(m: dict, tokenizer_dir: Optional[str] = None):
+    """Tokenizer from a reference-shaped model config section: `labels`
+    (char) or `tokenizer` (bpe/wpe/agg)."""
+    if "labels" in m and m.get("labels"):
+        return CharTokenizer(m["labels"])
+    tok_cfg = dict(m.get("tokenizer") or {})
+    if tokenizer_dir:
+        tok_cfg["dir"] = tokenizer_dir
+    return build_tokenizer(tok_cfg)
+
+
 class ConformerCTC(_BaseASRModel):
     def __init__(self, raw_cfg: dict, tokenizer, dtype=jnp.bfloat16):
         super().__init__(raw_cfg, tokenizer)
@@ -242,36 +274,11 @@ class ConformerCTC(_BaseASRModel):
         dtype=jnp.bfloat16,
     ):
         raw = load_config(path, overrides)
-        m = raw["model"]
-        if "labels" in m and m.get("labels"):
-            tokenizer = CharTokenizer(m["labels"])
-        else:
-            tok_cfg = dict(m.get("tokenizer") or {})
-            if tokenizer_dir:
-                tok_cfg["dir"] = tokenizer_dir
-            tokenizer = build_tokenizer(tok_cfg)
-        return cls(raw, tokenizer, dtype=dtype)
+        return cls(raw, _tokenizer_from_model_cfg(raw["model"], tokenizer_dir), dtype=dtype)
 
     @classmethod
     def restore_portable(cls, path: str, dtype=jnp.bfloat16):
-        config, params, artifacts = load_portable(path)
-        m = config["model"]
-        if "labels" in m and m.get("labels"):
-            tokenizer = CharTokenizer(m["labels"])
-        elif "tokenizer" in artifacts:
-            from conformer_nemo_tpu.data.tokenizers import HFTokenizer
-
-            tokenizer = HFTokenizer(artifacts["tokenizer"])
-        else:
-            raise ValueError("no tokenizer artifact in portable archive")
-        model = cls(config, tokenizer, dtype=dtype)
-        optimizer = model._make_optimizer()
-        state = model._init_state(optimizer)
-        from flax import serialization
-
-        params = serialization.from_state_dict(state.params, params)
-        model.state = state.replace(params=params)
-        return model
+        return _restore_portable_impl(cls, path, dtype)
 
     # -- subclass contract impls ------------------------------------------
     def _init_state(self, optimizer):
@@ -372,7 +379,17 @@ class ConformerTransducer(_BaseASRModel):
             ((m.get("decoding") or {}).get("greedy") or {}).get("max_symbols", 10)
         )
 
-    from_config_file = classmethod(ConformerCTC.from_config_file.__func__)
+    @classmethod
+    def from_config_file(
+        cls, path: str, tokenizer_dir: Optional[str] = None, overrides: Optional[dict] = None,
+        dtype=jnp.bfloat16,
+    ):
+        raw = load_config(path, overrides)
+        return cls(raw, _tokenizer_from_model_cfg(raw["model"], tokenizer_dir), dtype=dtype)
+
+    @classmethod
+    def restore_portable(cls, path: str, dtype=jnp.bfloat16):
+        return _restore_portable_impl(cls, path, dtype)
 
     def _init_state(self, optimizer):
         from conformer_nemo_tpu.train.rnnt_trainer import init_rnnt_state

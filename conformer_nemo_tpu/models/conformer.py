@@ -357,8 +357,8 @@ class ConformerLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, pos_emb, att_mask, pad_mask, *, deterministic: bool, train: bool,
-        lengths=None,
+        self, x, pos_emb, att_mask, pad_mask, deterministic: bool = True,
+        train: bool = False, lengths=None,
     ):
         cfg = self.cfg
         fc = 0.5
@@ -545,13 +545,11 @@ class ConformerEncoder(nn.Module):
 
         layer_cls = ConformerLayer
         if cfg.remat:
-            layer_cls = nn.remat(
-                ConformerLayer, static_argnums=(), prevent_cse=False,
-            )
+            # bools are static (arg 0 is the module instance in lifted remat)
+            layer_cls = nn.remat(ConformerLayer, static_argnums=(5, 6), prevent_cse=False)
         for i in range(cfg.n_layers):
             x = layer_cls(cfg, name=f"layers_{i}")(
-                x, pos_emb, att_mask, pad_mask, deterministic=deterministic, train=train,
-                lengths=out_lengths,
+                x, pos_emb, att_mask, pad_mask, deterministic, train, out_lengths
             )
 
         if cfg.feat_out > 0 and cfg.feat_out != cfg.d_model:

@@ -17,6 +17,7 @@ def main():
     _, leftover = parse_overrides(sys.argv[1:])
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True, help=".cntpu portable archive")
+    ap.add_argument("--model-type", choices=["ctc", "rnnt"], default="ctc")
     ap.add_argument("--audio", nargs="*", default=[])
     ap.add_argument("--manifest", default=None)
     ap.add_argument("--batch-size", type=int, default=16)
@@ -24,11 +25,12 @@ def main():
     ap.add_argument("--output", default=None, help="write hypotheses JSONL")
     args = ap.parse_args(leftover)
 
-    from conformer_nemo_tpu.api import ConformerCTC
+    from conformer_nemo_tpu.api import ConformerCTC, ConformerTransducer
     from conformer_nemo_tpu.data.manifest import read_manifest
     from conformer_nemo_tpu.decode.wer import word_error_rate
 
-    model = ConformerCTC.restore_portable(args.model)
+    cls = ConformerCTC if args.model_type == "ctc" else ConformerTransducer
+    model = cls.restore_portable(args.model)
 
     paths, refs = list(args.audio), []
     if args.manifest:
