@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Compute WER/CER of a portable model on a manifest.
+
+Usage:
+    python scripts/evaluate.py --model model.cntpu --manifest test.json [--cer]
+"""
+
+import argparse
+import sys
+
+from common import parse_overrides
+
+
+def main():
+    _, leftover = parse_overrides(sys.argv[1:])
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--model-type", choices=["ctc", "rnnt"], default="ctc")
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--cer", action="store_true")
+    args = ap.parse_args(leftover)
+
+    from conformer_nemo_tpu.api import ConformerCTC, ConformerTransducer
+    from conformer_nemo_tpu.data.manifest import read_manifest
+    from conformer_nemo_tpu.decode.wer import word_error_rate
+
+    cls = ConformerCTC if args.model_type == "ctc" else ConformerTransducer
+    model = cls.restore_portable(args.model)
+    samples = read_manifest(args.manifest)
+    hyps = model.transcribe([s.audio_file for s in samples], batch_size=args.batch_size)
+    refs = [s.text for s in samples]
+    metric = word_error_rate(hyps, refs, use_cer=args.cer)
+    print(f"{'CER' if args.cer else 'WER'}: {metric:.4f}  ({len(samples)} utts)")
+
+
+if __name__ == "__main__":
+    main()
