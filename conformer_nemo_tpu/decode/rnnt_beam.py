@@ -307,13 +307,34 @@ class BeamRNNTInfer:
             B = sorted(_recombine(A), key=lambda x: x.score, reverse=True)[:beam]
         return final if final else B
 
+    def _prefix_merge(self, hyps: List[Hypothesis], enc_t: np.ndarray, cache: dict):
+        """mAES prefix search (rnnt_beam_decoding.py:1134): when hyp_i's label
+        sequence is a one-token prefix of hyp_j's, fold hyp_i's probability of
+        completing into hyp_j into hyp_j's score. (Multi-token completions —
+        maes_prefix_alpha > 1 — are approximated by repeated single-token
+        merges across time steps.)"""
+        for j, hj in enumerate(hyps):
+            if not hj.y_sequence:
+                continue
+            for i, hi in enumerate(hyps):
+                if i == j or len(hj.y_sequence) - len(hi.y_sequence) != 1:
+                    continue
+                if hj.y_sequence[:-1] != hi.y_sequence:
+                    continue
+                (g_i, _) = self._score_hyps([hi], cache)[0]
+                logp = self._joint_many(enc_t, [g_i])[0]
+                hj.score = _logsumexp(
+                    hj.score, hi.score + float(logp[hj.y_sequence[-1]])
+                )
+        return hyps
+
     def modified_adaptive_expansion_search(self, enc: np.ndarray) -> List[Hypothesis]:
         """mAES (rnnt_beam_decoding.py:896-1110; Kim et al. 2020)."""
         beam = self.beam_size
         cache: dict = {}
         kept = [self._init_hyp()]
         for t in range(enc.shape[0]):
-            hyps = kept
+            hyps = self._prefix_merge(kept, enc[t], cache)
             for step in range(self.maes_num_steps):
                 scored = self._score_hyps(hyps, cache)
                 logps = self._joint_many(enc[t], [g for g, _ in scored])

@@ -161,3 +161,34 @@ def test_change_vocabulary(corpus):
     a = jax.tree.leaves(old_enc)[0]
     b = jax.tree.leaves(model.state.params["encoder"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rnnt_api_fit_and_portable(corpus, tmp_path_factory):
+    """Transducer API end-to-end: config -> fit -> transcribe -> portable."""
+    import jax.numpy as jnp
+    import yaml
+
+    from conformer_nemo_tpu.api import ConformerTransducer
+
+    with open(corpus["cfg"]) as f:
+        raw = yaml.safe_load(f)
+    m = raw["model"]
+    m["decoder"] = {"prednet": {"pred_hidden": 16, "pred_rnn_layers": 1, "dropout": 0.0}}
+    m["joint"] = {"fuse_loss_wer": False,
+                  "jointnet": {"joint_hidden": 16, "activation": "relu", "dropout": 0.0}}
+    m["decoding"] = {"strategy": "greedy_batch", "greedy": {"max_symbols": 3}}
+    cfg2 = str(tmp_path_factory.mktemp("rnnt_cfg") / "cfg.yaml")
+    with open(cfg2, "w") as f:
+        yaml.safe_dump(raw, f)
+
+    model = ConformerTransducer.from_config_file(cfg2, dtype=jnp.float32)
+    result = model.fit(max_epochs=1)
+    assert np.isfinite(result["last_loss"])
+    wavs = [os.path.join(corpus["dir"], "0.wav")]
+    hyps = model.transcribe(wavs, batch_size=2)
+    assert isinstance(hyps[0], str)
+
+    art = str(tmp_path_factory.mktemp("rnnt_art") / "model.cntpu")
+    model.save_portable(art)
+    model2 = ConformerTransducer.restore_portable(art, dtype=jnp.float32)
+    assert model2.transcribe(wavs, batch_size=2) == hyps
