@@ -124,6 +124,85 @@ def spec_shot(cfg: SpecAugmentConfig, rng: jax.Array, spec: jnp.ndarray) -> jnp.
     return spec * keep.astype(spec.dtype)
 
 
+@partial(jax.jit, static_argnames=("patch_size", "mask_patches"))
+def masked_patch_augmentation(
+    rng: jax.Array,
+    spec: jnp.ndarray,
+    lengths: jnp.ndarray,
+    patch_size: int = 48,
+    mask_patches: int = 10,
+) -> jnp.ndarray:
+    """Fixed-size time-patch masking for SSL pretraining.
+
+    Parity target: reference `MaskedPatchAugmentation.forward`
+    (`/root/reference/nemo/collections/asr/modules/audio_preprocessing.py:524-587`):
+    every sample gets the SAME number of masked patches
+    `m = min(mask_patches, min(lengths) // patch_size)`; per sample the
+    candidate patches are indices `0 .. cur_len//patch_size - 2` (the
+    reference's `range(cur_len // patch_size - 1)`), sampled without
+    replacement; each selected patch zeroes frames
+    [p*patch_size, (p+1)*patch_size).
+
+    TPU-native: sampling-without-replacement is done by ranking iid uniform
+    scores per candidate patch (invalid candidates get +inf) — one argsort per
+    sample, fully vectorized, no host loop.
+
+    Deviation: when the degradation branch triggers, the reference's own code
+    raises (the min-length sample has `len//patch - 1 < m_eff` candidates, so
+    its `random.sample` fails); here each sample masks
+    `min(m_eff, its candidate count)` patches instead of crashing.
+    """
+    b, d, t = spec.shape
+    max_patches = max(t // patch_size, 1)
+    # m_eff (traced): the reference degrades the global patch count when the
+    # shortest sample can't fit mask_patches patches.
+    min_len = jnp.min(lengths).astype(jnp.int32)
+    m_eff = jnp.where(
+        min_len < patch_size * mask_patches, min_len // patch_size, mask_patches
+    )
+
+    n_candidates = lengths.astype(jnp.int32) // patch_size - 1  # [B]
+    patch_idx = jnp.arange(max_patches, dtype=jnp.int32)[None, :]  # [1, P]
+    valid = patch_idx < n_candidates[:, None]  # [B, P]
+    scores = jax.random.uniform(rng, (b, max_patches))
+    scores = jnp.where(valid, scores, jnp.inf)
+    # rank of each candidate patch among its sample's scores
+    order = jnp.argsort(scores, axis=1)  # [B, P] patch ids, best first
+    ranks = jnp.argsort(order, axis=1)  # rank per patch id
+    patch_masked = valid & (ranks < m_eff)  # [B, P]
+
+    frame_patch = jnp.minimum(jnp.arange(t, dtype=jnp.int32) // patch_size, max_patches - 1)
+    frame_masked = jnp.take_along_axis(
+        patch_masked, frame_patch[None, :].repeat(b, axis=0), axis=1
+    )  # [B, T]
+    return jnp.where(frame_masked[:, None, :], 0.0, spec)
+
+
+@partial(jax.jit, static_argnames=("audio_length",))
+def crop_or_pad_spectrogram(
+    rng: jax.Array, spec: jnp.ndarray, lengths: jnp.ndarray, audio_length: int
+):
+    """Crop (random offset per sample) or symmetrically zero-pad the time axis
+    to exactly `audio_length` frames; lengths all become `audio_length`.
+
+    Parity target: reference `CropOrPadSpectrogramAugmentation.forward`
+    (`/root/reference/nemo/collections/asr/modules/audio_preprocessing.py:590-660`).
+    The crop/pad decision is shape-static so both branches jit cleanly.
+    """
+    b, d, t = spec.shape
+    out_lengths = jnp.full_like(lengths, audio_length)
+    if t > audio_length:
+        offsets = jax.random.randint(rng, (b,), 0, t - audio_length + 1)
+        out = jax.vmap(
+            lambda s, o: jax.lax.dynamic_slice(s, (0, o), (d, audio_length))
+        )(spec, offsets)
+    else:
+        pad_left = (audio_length - t) // 2
+        pad_right = pad_left + ((audio_length - t) % 2)
+        out = jnp.pad(spec, ((0, 0), (0, 0), (pad_left, pad_right)))
+    return out, out_lengths
+
+
 def apply_spectrogram_augmentation(
     cfg: SpecAugmentConfig, rng: jax.Array, spec: jnp.ndarray, lengths: jnp.ndarray
 ) -> jnp.ndarray:

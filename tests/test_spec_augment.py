@@ -66,3 +66,63 @@ def test_disabled_is_identity():
     spec = jnp.ones((1, 8, 10))
     out = apply_spectrogram_augmentation(cfg, jax.random.PRNGKey(0), spec, jnp.array([10]))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(spec))
+
+
+def test_masked_patch_augmentation_semantics():
+    from conformer_nemo_tpu.audio.spec_augment import masked_patch_augmentation
+
+    patch, m = 10, 3
+    spec = jnp.ones((3, 8, 120))
+    lengths = jnp.array([120, 100, 80])
+    out = np.asarray(
+        masked_patch_augmentation(jax.random.PRNGKey(0), spec, lengths, patch, m)
+    )
+    assert out.shape == spec.shape
+    for i, ln in enumerate([120, 100, 80]):
+        zero_cols = np.where((out[i] == 0).all(axis=0))[0]
+        # masked frames come in whole patches aligned to patch boundaries
+        assert len(zero_cols) == m * patch
+        patches = np.unique(zero_cols // patch)
+        assert len(patches) == m
+        for p in patches:
+            assert set(range(p * patch, (p + 1) * patch)) <= set(zero_cols.tolist())
+            # candidate patches exclude the final (possibly partial) patch:
+            # p in range(len//patch - 1)
+            assert p < ln // patch - 1
+
+
+def test_masked_patch_degrades_with_short_sample():
+    from conformer_nemo_tpu.audio.spec_augment import masked_patch_augmentation
+
+    # min_len 25 < patch*mask_patches=10*10 -> m_eff = 25//10 = 2 for ALL samples.
+    # (The reference would raise here - its min-length sample has only 1
+    # candidate patch; we clamp per sample instead.)
+    spec = jnp.ones((2, 4, 120))
+    lengths = jnp.array([120, 25])
+    out = np.asarray(
+        masked_patch_augmentation(jax.random.PRNGKey(1), spec, lengths, 10, 10)
+    )
+    long_cols = np.where((out[0] == 0).all(axis=0))[0]
+    assert len(np.unique(long_cols // 10)) == 2
+    short_cols = np.where((out[1] == 0).all(axis=0))[0]
+    assert np.unique(short_cols // 10).tolist() == [0]
+
+
+def test_crop_or_pad_spectrogram():
+    from conformer_nemo_tpu.audio.spec_augment import crop_or_pad_spectrogram
+
+    rng = jax.random.PRNGKey(0)
+    # crop branch: values are contiguous slices of the input
+    spec = jnp.arange(2 * 3 * 50, dtype=jnp.float32).reshape(2, 3, 50)
+    out, lens = crop_or_pad_spectrogram(rng, spec, jnp.array([50, 40]), 20)
+    assert out.shape == (2, 3, 20)
+    assert np.asarray(lens).tolist() == [20, 20]
+    row = np.asarray(out)[0, 0]
+    start = int(row[0])
+    assert np.allclose(row, np.arange(start, start + 20))
+    # pad branch: symmetric zero pad, odd remainder goes right
+    spec = jnp.ones((1, 2, 9))
+    out, lens = crop_or_pad_spectrogram(rng, spec, jnp.array([9]), 12)
+    assert out.shape == (1, 2, 12)
+    o = np.asarray(out)[0, 0]
+    assert (o[:1] == 0).all() and (o[10:] == 0).all() and (o[1:10] == 1).all()
