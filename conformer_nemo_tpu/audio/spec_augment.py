@@ -155,8 +155,13 @@ def masked_patch_augmentation(
     b, d, t = spec.shape
     max_patches = max(t // patch_size, 1)
     # m_eff (traced): the reference degrades the global patch count when the
-    # shortest sample can't fit mask_patches patches.
-    min_len = jnp.min(lengths).astype(jnp.int32)
+    # shortest sample can't fit mask_patches patches. Rows too short to fit
+    # even one patch (e.g. partial-batch pad rows) are ignored in the min —
+    # they get no masking anyway and must not disable it for real samples.
+    lens = lengths.astype(jnp.int32)
+    min_len = jnp.min(
+        jnp.where(lens >= patch_size, lens, jnp.iinfo(jnp.int32).max))
+    min_len = jnp.where(min_len == jnp.iinfo(jnp.int32).max, 0, min_len)
     m_eff = jnp.where(
         min_len < patch_size * mask_patches, min_len // patch_size, mask_patches
     )
