@@ -120,3 +120,41 @@ class RNNEncoder(nn.Module):
             y = nn.Dropout(cfg.dropout)(y, deterministic=not train)
             x = y
         return jnp.swapaxes(x, 1, 2), out_lengths
+
+
+@dataclasses.dataclass(frozen=True)
+class LSTMDecoderConfig:
+    """Schema mirror of reference `LSTMDecoder.__init__`
+    (`asr/modules/lstm_decoder.py:28-76`)."""
+
+    feat_in: int = 512
+    num_classes: int = 28  # without blank; +1 added like the reference
+    lstm_hidden_size: int = 256
+    bidirectional: bool = False
+    num_layers: int = 1
+    dtype: Any = jnp.bfloat16
+
+
+class LSTMDecoder(nn.Module):
+    """CTC head variant: [B, D, T] -> log-probs [B, T, V+1]
+    (LSTM stack -> linear -> log_softmax; lstm_decoder.py:72-76)."""
+
+    cfg: LSTMDecoderConfig
+
+    @nn.compact
+    def __call__(self, encoder_output, *, train: bool = False):
+        cfg = self.cfg
+        x = jnp.swapaxes(encoder_output, 1, 2)  # [B, T, D]
+        for i in range(cfg.num_layers):
+            fwd = _LSTMLayer(cfg.lstm_hidden_size, cfg.dtype,
+                             name=f"lstm{i}_fwd")(x)
+            if cfg.bidirectional:
+                bwd = _LSTMLayer(cfg.lstm_hidden_size, cfg.dtype,
+                                 name=f"lstm{i}_bwd")(x, reverse=True)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        logits = nn.Dense(cfg.num_classes + 1, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="fc")(
+            x.astype(jnp.float32))
+        return jax.nn.log_softmax(logits, axis=-1)

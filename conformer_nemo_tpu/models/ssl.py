@@ -87,6 +87,60 @@ class ReconstructionDecoder(nn.Module):
 
 
 @dataclasses.dataclass(frozen=True)
+class ConvFeatureEncoderConfig:
+    """Schema mirror of reference `ConvFeatureEncoder.__init__`
+    (`asr/modules/wav2vec_modules.py:97-160`): wav2vec 2.0 base defaults —
+    7 strided conv blocks over raw waveform, total stride 320."""
+
+    # (dim, kernel, stride) per block
+    conv_layers: tuple = (
+        (512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 3, 2),
+        (512, 2, 2), (512, 2, 2))
+    extractor_mode: str = "layer_norm"  # layer_norm | group_norm
+    conv_bias: bool = False
+    normalize_audio: bool = True
+    dtype: Any = jnp.bfloat16
+
+
+class ConvFeatureEncoder(nn.Module):
+    """Raw waveform [B, T] -> features [B, C, T'] + lengths (wav2vec 2.0
+    feature extractor, wav2vec_modules.py:58-214). `layer_norm` mode norms
+    every block; `group_norm` norms only block 0 (group==channels)."""
+
+    cfg: ConvFeatureEncoderConfig
+
+    @nn.compact
+    def __call__(self, waveform, lengths, *, train: bool = False):
+        cfg = self.cfg
+        x = waveform.astype(jnp.float32)
+        out_lens = lengths.astype(jnp.int32)
+        if cfg.normalize_audio:
+            mask = (jnp.arange(x.shape[1])[None, :] < out_lens[:, None])
+            denom = jnp.maximum(out_lens.astype(jnp.float32), 1.0)[:, None]
+            mean = jnp.sum(jnp.where(mask, x, 0.0), 1, keepdims=True) / denom
+            var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0), 1,
+                          keepdims=True) / denom
+            x = jnp.where(mask, (x - mean) / jnp.sqrt(var + 1e-5), 0.0)
+        h = x[:, :, None]  # [B, T, 1]
+        for i, (dim, k, stride) in enumerate(cfg.conv_layers):
+            h = nn.Conv(
+                dim, kernel_size=(k,), strides=(stride,), padding="VALID",
+                use_bias=cfg.conv_bias, dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.kaiming_normal(),
+                name=f"conv{i}",
+            )(h.astype(cfg.dtype)).astype(jnp.float32)
+            if cfg.extractor_mode == "layer_norm":
+                h = nn.LayerNorm(dtype=jnp.float32, name=f"ln{i}")(h)
+            elif cfg.extractor_mode == "group_norm" and i == 0:
+                h = nn.GroupNorm(num_groups=dim, dtype=jnp.float32,
+                                 name="gn0")(h)
+            h = nn.gelu(h)
+            out_lens = (out_lens - k) // stride + 1
+        return jnp.swapaxes(h, 1, 2), jnp.maximum(out_lens, 0)
+
+
+@dataclasses.dataclass(frozen=True)
 class GumbelVQConfig:
     dim: int = 320  # input channels
     num_vars: int = 320  # codewords per group

@@ -220,3 +220,34 @@ def test_ssl_model_e2e_and_transfer(tmp_path):
     leaves_asr = jax.tree.leaves(asr.state.params["encoder"])
     assert all(np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(leaves_ssl, leaves_asr))
+
+
+def test_conv_feature_encoder():
+    from conformer_nemo_tpu.models.ssl import (
+        ConvFeatureEncoder, ConvFeatureEncoderConfig)
+
+    cfg = ConvFeatureEncoderConfig(
+        conv_layers=((16, 10, 5), (16, 3, 2), (16, 2, 2)), dtype=jnp.float32)
+    enc = ConvFeatureEncoder(cfg)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 1000))
+    lens = jnp.array([1000, 600])
+    variables = enc.init(jax.random.PRNGKey(1), wav, lens)
+    out, out_lens = enc.apply(variables, wav, lens)
+    # conv arithmetic: ((1000-10)/5+1 -> 199; (199-3)/2+1 -> 99; (99-2)/2+1 -> 49)
+    assert out.shape == (2, 16, 49)
+    assert np.asarray(out_lens).tolist() == [49, int(((600-10)//5+1-3)//2+1-2)//2+1]
+
+
+def test_lstm_decoder_head():
+    from conformer_nemo_tpu.models.rnn_encoder import (
+        LSTMDecoder, LSTMDecoderConfig)
+
+    cfg = LSTMDecoderConfig(feat_in=12, num_classes=5, lstm_hidden_size=8,
+                            bidirectional=True, dtype=jnp.float32)
+    dec = LSTMDecoder(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 20))
+    variables = dec.init(jax.random.PRNGKey(1), x)
+    logp = dec.apply(variables, x)
+    assert logp.shape == (2, 20, 6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(logp).sum(-1)), 1.0, rtol=1e-5)
