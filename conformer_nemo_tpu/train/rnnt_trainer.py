@@ -22,7 +22,7 @@ from conformer_nemo_tpu.decode.rnnt_greedy import rnnt_greedy_decode_batched
 from conformer_nemo_tpu.models.rnnt import RNNTModel, RNNTModelConfig
 from conformer_nemo_tpu.audio.features import MelFeatureConfig
 from conformer_nemo_tpu.audio.spec_augment import SpecAugmentConfig
-from conformer_nemo_tpu.train.trainer import TrainState
+from conformer_nemo_tpu.train.trainer import TrainState, fast_mask_rng
 
 
 import dataclasses
@@ -65,7 +65,8 @@ def make_rnnt_train_step(
     model = RNNTModel(cfg.model)
 
     def loss_fn(params, batch_stats, batch, rng):
-        feat_rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+        feat_rng, aug_rng, drop_rng = map(
+            fast_mask_rng, jax.random.split(rng, 3))
         feats, feat_lens = log_mel_spectrogram(
             cfg.preprocessor, batch["audio"], batch["audio_lens"], rng=feat_rng, training=True
         )
