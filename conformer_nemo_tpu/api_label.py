@@ -288,6 +288,11 @@ class _EncDecLabelModel:
         return self._logits(out)
 
     # -- persistence -------------------------------------------------------
+    def _arch_dict(self) -> dict:
+        """Architecture kwargs to persist so restore_portable rebuilds the
+        exact topology without the caller re-passing constructor args."""
+        return {}
+
     def _config_dict(self) -> dict:
         return {
             "model": {
@@ -295,6 +300,7 @@ class _EncDecLabelModel:
                 "labels": self.labels,
                 "sample_rate": self.sample_rate,
                 "preprocessor": dataclasses.asdict(self.mel),
+                "arch": self._arch_dict(),
             }
         }
 
@@ -309,6 +315,8 @@ class _EncDecLabelModel:
         m = config["model"]
         if "mel" not in kwargs and m.get("preprocessor"):
             kwargs["mel"] = MelFeatureConfig(**m["preprocessor"])
+        for key, val in (m.get("arch") or {}).items():
+            kwargs.setdefault(key, val)
         model = cls(labels=m["labels"], sample_rate=m["sample_rate"], **kwargs)
         opt = optax.adamw(1e-3)
         model.state = model._init_state(opt)
@@ -329,7 +337,9 @@ class ClassificationModel(_EncDecLabelModel):
 
     def __init__(self, labels, sample_rate=16000, mel=None, spec_augment=None,
                  blocks=None, pooling_type: str = "avg", dtype=jnp.float32):
-        self._blocks = blocks or matchboxnet_blocks()
+        self._blocks = [
+            b if isinstance(b, JasperBlockConfig) else JasperBlockConfig(**b)
+            for b in (blocks or matchboxnet_blocks())]
         self._pooling = pooling_type
         self._dtype = dtype
         super().__init__(labels, sample_rate, mel, spec_augment)
@@ -342,6 +352,10 @@ class ClassificationModel(_EncDecLabelModel):
             feat_in=self._blocks[-1].filters, num_classes=len(self.labels),
             pooling_type=self._pooling, dtype=self._dtype)
         return _ClassificationNet(enc, dec)
+
+    def _arch_dict(self):
+        return {"blocks": [dataclasses.asdict(b) for b in self._blocks],
+                "pooling_type": self._pooling}
 
     def _loss(self, out, labels):
         return cross_entropy_loss(out, labels)
@@ -406,6 +420,15 @@ class SpeakerLabelModel(_EncDecLabelModel):
         self.loss_margin = loss_margin
         self._dtype = dtype
         super().__init__(labels, sample_rate, mel, spec_augment)
+
+    def _arch_dict(self):
+        return {**{k: list(v) if isinstance(v, tuple) else v
+                   for k, v in self._ecapa.items()},
+                "emb_sizes": list(self._dec["emb_sizes"]),
+                "pool_mode": self._dec["pool_mode"],
+                "angular": self.angular,
+                "loss_scale": self.loss_scale,
+                "loss_margin": self.loss_margin}
 
     def _build_net(self):
         enc = ECAPAEncoderConfig(feat_in=self.mel.features, dtype=self._dtype,
