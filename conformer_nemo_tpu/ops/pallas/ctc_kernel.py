@@ -167,7 +167,16 @@ def _prep(log_probs, targets, target_lengths, blank_id):
     in_lattice = jnp.arange(s_max)[None, :] < (2 * target_lengths[:, None] + 1)
     ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=-1)[:, :s_max]
     skip = ((ext != blank_id) & (ext != ext_m2) & in_lattice).astype(jnp.float32)
-    emits = jnp.take_along_axis(log_probs, ext[:, None, :].repeat(t_max, 1), axis=2)
+    # emit gather as a one-hot MXU matmul: take_along_axis lowers to an XLA
+    # gather that costs ~20 ms at B16/T376/S257 on v5e — 10x the whole
+    # lattice kernel; the einsum runs in ~1.6 ms.
+    onehot = (ext[:, :, None] == jnp.arange(v)[None, None, :]).astype(jnp.float32)
+    # HIGHEST precision: the default 1-pass bf16 MXU dot rounds the selected
+    # log-probs (~4e-3 rel), which measurably perturbs the lattice gradient;
+    # multi-pass selection by a one-hot is bit-exact.
+    emits = jnp.einsum("btv,bsv->bts", log_probs, onehot,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     emits = jnp.where(in_lattice[:, None, :], emits, _NEG_INF)
     return emits, ext, skip, in_lattice
 
@@ -231,7 +240,9 @@ def _ctc_bwd(blank_id, interpret, res, g):
     d_emits = jnp.where(in_lattice[:, None, :], d_emits, 0.0)
     # scatter S -> V classes: one-hot matmul (S, V small)
     onehot = (ext[:, :, None] == jnp.arange(v)[None, None, :]).astype(jnp.float32)
-    grad = jnp.einsum("bts,bsv->btv", d_emits, onehot)
+    grad = jnp.einsum("bts,bsv->btv", d_emits, onehot,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     grad = grad * g[:, None, None]
     return (grad.astype(log_probs.dtype), None, None, None)
 
