@@ -381,6 +381,59 @@ class ClassificationModel(_EncDecLabelModel):
                 outs.extend(self.labels[j] for j in ids)
         return outs
 
+    def vad_frame_probs(self, wav: np.ndarray,
+                        window_length_in_sec: float = 0.63,
+                        shift_length_in_sec: float = 0.01,
+                        speech_label: str = "speech",
+                        batch_size: int = 256) -> np.ndarray:
+        """Frame-level speech probabilities by sliding a window over the
+        waveform: one softmax P(speech) per `shift_length_in_sec`
+        (reference `generate_vad_frame_pred`, vad_utils.py:826-870 — there
+        the windows come from a segmented manifest; here we slice the
+        in-memory waveform directly, so no start/next/end edge trimming
+        is needed). Postprocess with `decode.vad.postprocess_frame_predictions`.
+        """
+        try:
+            speech_idx = self.labels.index(speech_label)
+        except ValueError:
+            speech_idx = len(self.labels) - 1
+        win = int(window_length_in_sec * self.sample_rate)
+        shift = int(shift_length_in_sec * self.sample_rate)
+        wav = np.asarray(wav, np.float32)
+        if len(wav) < win:
+            wav = np.pad(wav, (0, win - len(wav)))
+        n_frames = (len(wav) - win) // shift + 1
+        probs = np.zeros(n_frames, np.float32)
+        lens = jnp.full((batch_size,), win, jnp.int32)
+        for i in range(0, n_frames, batch_size):
+            n = min(batch_size, n_frames - i)
+            batch = np.zeros((batch_size, win), np.float32)
+            for r in range(n):
+                s = (i + r) * shift
+                batch[r] = wav[s : s + win]
+            logits = self._infer_logits(jnp.asarray(batch), lens)
+            p = jax.nn.softmax(logits, -1)[:, speech_idx]
+            probs[i : i + n] = np.asarray(p)[:n]
+        return probs
+
+    def as_vad_callable(self, params: Optional[dict] = None,
+                        window_length_in_sec: float = 0.63,
+                        shift_length_in_sec: float = 0.01):
+        """Adapter producing a `(wav, sr) -> [(start, end), ...]` function
+        usable as `ClusteringDiarizer(vad=...)`, replacing its energy VAD
+        with this neural model + reference postprocessing chain."""
+        from conformer_nemo_tpu.decode.vad import postprocess_frame_predictions
+
+        def _vad(wav, sr):
+            if sr != self.sample_rate:
+                raise ValueError(f"expected {self.sample_rate} Hz audio, got {sr}")
+            probs = self.vad_frame_probs(
+                wav, window_length_in_sec, shift_length_in_sec)
+            return postprocess_frame_predictions(
+                probs, params, shift_length_in_sec=shift_length_in_sec)
+
+        return _vad
+
     def change_labels(self, new_labels: Sequence[str]):
         """Swap the head for a new label set, keeping the encoder
         (classification_models.py:559-609)."""

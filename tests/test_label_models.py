@@ -175,3 +175,56 @@ def test_speaker_model_e2e(label_manifest, tmp_path):
         label_manifest, batch_size=8, fixed_seconds=1.0)
     assert embs.shape == (8, 16) and logits.shape == (8, 2)
     assert set(id2label.values()) == {"high", "low"}
+
+
+def test_neural_vad_pipeline(tmp_path):
+    """vad_frame_probs + decode.vad postprocessing finds the speech region
+    of a composite waveform (generate_vad_frame_pred parity, array-level)."""
+    from conformer_nemo_tpu.decode.vad import postprocess_frame_predictions
+
+    rs = np.random.RandomState(7)
+    rows = []
+    for i in range(8):
+        label = "background" if i % 2 == 0 else "speech"
+        if label == "speech":
+            sig = _tone(350, 0.7, seed=i)
+        else:
+            sig = (0.005 * rs.randn(int(0.7 * SR))).astype(np.float32)
+        path = str(tmp_path / f"v{i}.wav")
+        write_wav(path, sig, SR)
+        rows.append({"audio_filepath": path, "duration": 0.7, "label": label})
+    manifest = str(tmp_path / "vad.json")
+    with open(manifest, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    model = ClassificationModel(
+        labels=["background", "speech"], mel=MelFeatureConfig(features=32),
+        blocks=_small_blocks(),
+    )
+    model.fit(manifest, max_steps=30, batch_size=8, fixed_seconds=0.63,
+              lr=3e-3)
+
+    # 0.8s noise | 1.2s tone | 0.8s noise
+    wav = np.concatenate([
+        (0.005 * rs.randn(int(0.8 * SR))).astype(np.float32),
+        _tone(350, 1.2, seed=3),
+        (0.005 * rs.randn(int(0.8 * SR))).astype(np.float32),
+    ])
+    probs = model.vad_frame_probs(wav, shift_length_in_sec=0.02)
+    assert probs.shape[0] == (len(wav) - int(0.63 * SR)) // int(0.02 * SR) + 1
+    segs = postprocess_frame_predictions(
+        probs, {"onset": 0.5, "offset": 0.4, "min_duration_on": 0.2,
+                "min_duration_off": 0.2}, shift_length_in_sec=0.02)
+    assert len(segs) == 1
+    s, e = segs[0]
+    # window is left-aligned so detection begins once the window overlaps
+    # the tone substantially; allow the 0.63s window of slack
+    assert 0.2 <= s <= 1.2 and 1.15 <= e <= 2.3 and e - s >= 0.3
+
+    # adapter form used by ClusteringDiarizer(vad=...)
+    vad_fn = model.as_vad_callable(
+        {"onset": 0.5, "offset": 0.4, "min_duration_on": 0.2,
+         "min_duration_off": 0.2}, shift_length_in_sec=0.02)
+    segs2 = vad_fn(wav, SR)
+    assert segs2 == segs
