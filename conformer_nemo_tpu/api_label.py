@@ -56,6 +56,7 @@ from conformer_nemo_tpu.models.tdnn import (
 from conformer_nemo_tpu.ops.classification_losses import (
     angular_softmax_loss,
     cross_entropy_loss,
+    mse_loss,
     top_k_counts,
 )
 from conformer_nemo_tpu.parallel.mesh import make_mesh
@@ -121,6 +122,8 @@ class _EncDecLabelModel:
         self.net = self._build_net()
 
     # subclass contract: _build_net(), _loss(logits_out, labels), _logits(out)
+    metric_name = "acc"
+
     def _build_net(self) -> nn.Module:
         raise NotImplementedError
 
@@ -129,6 +132,15 @@ class _EncDecLabelModel:
 
     def _logits(self, out):
         return out
+
+    def _step_metric(self, logits, labels):
+        """In-step training metric (top-1 accuracy by default)."""
+        correct, total = top_k_counts(logits, labels, (1,))
+        return correct[0] / jnp.maximum(total[0], 1)
+
+    def _make_dataset(self, manifest: str) -> AudioToLabelDataset:
+        return AudioToLabelDataset(manifest, self.labels,
+                                   sample_rate=self.sample_rate)
 
     # ------------------------------------------------------------------
     def _features(self, audio, lens, rng=None, training=False):
@@ -172,8 +184,7 @@ class _EncDecLabelModel:
         augment: bool = False,
         log_every_n_steps: int = 20,
     ):
-        ds = AudioToLabelDataset(train_manifest, self.labels,
-                                 sample_rate=self.sample_rate)
+        ds = self._make_dataset(train_manifest)
         n_dev = len(jax.devices())
         data_axis = n_dev
         while data_axis > 1 and batch_size % data_axis != 0:
@@ -193,6 +204,8 @@ class _EncDecLabelModel:
         net, mel = self.net, self.mel
         loss_of = self._loss
         logits_of = self._logits
+        metric_of = self._step_metric
+        metric_name = self.metric_name
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -229,11 +242,10 @@ class _EncDecLabelModel:
             updates, new_opt = optax.adamw(lr, weight_decay=weight_decay).update(
                 grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-            correct, total = top_k_counts(logits, labels, (1,))
             return state.replace(
                 step=state.step + 1, params=new_params,
                 batch_stats=new_stats, opt_state=new_opt, rng=new_rng,
-            ), {"loss": loss, "acc": correct[0] / jnp.maximum(total[0], 1)}
+            ), {"loss": loss, metric_name: metric_of(logits, labels)}
 
         step_jit = jax.jit(
             step_fn,
@@ -256,7 +268,7 @@ class _EncDecLabelModel:
                 if step % log_every_n_steps == 0 or step >= max_steps:
                     history.append(
                         {"step": step, "loss": float(metrics["loss"]),
-                         "acc": float(metrics["acc"])})
+                         metric_name: float(metrics[metric_name])})
                 if step >= max_steps:
                     done = True
                     break
@@ -269,8 +281,7 @@ class _EncDecLabelModel:
                  fixed_seconds: float = 4.0, top_k: Sequence[int] = (1,)):
         """Multi-batch top-k accuracy with summed correct/total counts
         (reference multi_*_epoch_end aggregation)."""
-        ds = AudioToLabelDataset(manifest, self.labels,
-                                 sample_rate=self.sample_rate)
+        ds = self._make_dataset(manifest)
         loader = FixedSeqLabelLoader(ds, batch_size, fixed_seconds)
         correct = np.zeros(len(top_k), np.int64)
         total = np.zeros(len(top_k), np.int64)
@@ -450,6 +461,78 @@ class ClassificationModel(_EncDecLabelModel):
             if old_stats and "encoder" in old_stats:
                 stats["encoder"] = old_stats["encoder"]
             self.state = self.state.replace(params=params, batch_stats=stats)
+
+
+class RegressionModel(ClassificationModel):
+    """Speech regression (EncDecRegressionModel parity,
+    classification_models.py:628-755): same conv encoder + pooled head with
+    num_classes=1, MSE loss, MSE/MAE evaluation, `predict` -> floats."""
+
+    kind = "regression"
+    metric_name = "mse"
+
+    def __init__(self, labels=(), sample_rate=16000, mel=None,
+                 spec_augment=None, blocks=None, pooling_type: str = "avg",
+                 dtype=jnp.float32):
+        super().__init__(list(labels), sample_rate, mel, spec_augment,
+                         blocks=blocks, pooling_type=pooling_type, dtype=dtype)
+
+    def _build_net(self):
+        enc = ConvASREncoderConfig(
+            feat_in=self.mel.features, blocks=tuple(self._blocks),
+            dtype=self._dtype)
+        dec = ClassificationDecoderConfig(
+            feat_in=self._blocks[-1].filters, num_classes=1,
+            pooling_type=self._pooling, dtype=self._dtype)
+        return _ClassificationNet(enc, dec)
+
+    def _make_dataset(self, manifest: str) -> AudioToLabelDataset:
+        return AudioToLabelDataset(manifest, sample_rate=self.sample_rate,
+                                   is_regression_task=True)
+
+    def _loss(self, out, labels):
+        return mse_loss(out.reshape(-1), labels)
+
+    def _logits(self, out):
+        return out.reshape(-1)
+
+    def _step_metric(self, preds, targets):
+        return mse_loss(preds, targets)
+
+    def evaluate(self, manifest: str, batch_size: int = 32,
+                 fixed_seconds: float = 4.0, top_k: Sequence[int] = ()):
+        """Summed-squared/absolute-error aggregation over batches
+        (multi_validation_epoch_end, classification_models.py:707-719)."""
+        ds = self._make_dataset(manifest)
+        loader = FixedSeqLabelLoader(ds, batch_size, fixed_seconds)
+        se = ae = 0.0
+        count = 0
+        for audio, lens, targets, n in loader:
+            preds = np.asarray(
+                self._infer_logits(jnp.asarray(audio), jnp.asarray(lens)))[:n]
+            err = preds - targets[:n]
+            se += float(np.sum(err ** 2))
+            ae += float(np.sum(np.abs(err)))
+            count += n
+        denom = max(count, 1)
+        return {"mse": se / denom, "mae": ae / denom}
+
+    def predict(self, audio_paths: Sequence[str], batch_size: int = 32,
+                fixed_seconds: float = 4.0, logprobs: bool = False):
+        """transcribe() parity: predicted values as floats
+        (classification_models.py:730-746)."""
+        t_fixed = int(fixed_seconds * self.sample_rate)
+        outs: List[float] = []
+        for i in range(0, len(audio_paths), batch_size):
+            chunk = audio_paths[i : i + batch_size]
+            audio = np.zeros((len(chunk), t_fixed), np.float32)
+            for row, p in enumerate(chunk):
+                audio[row] = repeat_to_length(
+                    load_audio(p, target_sr=self.sample_rate), t_fixed)
+            lens = jnp.full((len(chunk),), t_fixed, jnp.int32)
+            preds = self._infer_logits(jnp.asarray(audio), lens)
+            outs.extend(float(v) for v in np.asarray(preds))
+        return outs
 
 
 class SpeakerLabelModel(_EncDecLabelModel):

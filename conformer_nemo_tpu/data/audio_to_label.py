@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -111,18 +111,25 @@ class AudioToLabelDataset:
         min_duration: Optional[float] = None,
         max_duration: Optional[float] = None,
         normalize_audio: bool = False,
+        is_regression_task: bool = False,
     ):
         self.samples = read_label_manifest(manifest, min_duration, max_duration)
-        self.labels = list(labels) if labels else extract_labels(self.samples)
-        self.label2id = {l: i for i, l in enumerate(self.labels)}
-        self.id2label = dict(enumerate(self.labels))
+        self.is_regression_task = is_regression_task
+        if is_regression_task:
+            # targets are float values, no label<->id table
+            # (_AudioLabelDataset, audio_to_label.py:262-268)
+            self.labels, self.label2id, self.id2label = [], {}, {}
+        else:
+            self.labels = list(labels) if labels else extract_labels(self.samples)
+            self.label2id = {l: i for i, l in enumerate(self.labels)}
+            self.id2label = dict(enumerate(self.labels))
         self.sample_rate = sample_rate
         self.normalize_audio = normalize_audio
 
     def __len__(self):
         return len(self.samples)
 
-    def __getitem__(self, i: int) -> Tuple[np.ndarray, int]:
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, Any]:
         s = self.samples[i]
         wav = load_audio(
             s.audio_file, target_sr=self.sample_rate,
@@ -130,6 +137,8 @@ class AudioToLabelDataset:
         )
         if self.normalize_audio:
             wav = normalize_signal(wav)
+        if self.is_regression_task:
+            return wav, float(s.label)
         return wav, self.label2id[s.label]
 
 
@@ -170,7 +179,9 @@ class FixedSeqLabelLoader:
             if len(chunk) < self.batch_size and self.drop_last:
                 break
             audio = np.zeros((self.batch_size, self.t_fixed), np.float32)
-            labels = np.zeros((self.batch_size,), np.int32)
+            label_dtype = (np.float32 if getattr(self.ds, "is_regression_task",
+                                                 False) else np.int32)
+            labels = np.zeros((self.batch_size,), label_dtype)
             lens = np.full((self.batch_size,), self.t_fixed, np.int32)
             for row, j in enumerate(chunk):
                 wav, lab = self.ds[int(j)]

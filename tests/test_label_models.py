@@ -10,8 +10,14 @@ import pytest
 
 from conformer_nemo_tpu.api_label import (
     ClassificationModel,
+    RegressionModel,
     SpeakerLabelModel,
     matchboxnet_blocks,
+)
+from conformer_nemo_tpu.data.feature_to_label import (
+    FeatureSeqLabelLoader,
+    FeatureToSeqSpeakerLabelDataset,
+    load_external_feature,
 )
 from conformer_nemo_tpu.audio.features import MelFeatureConfig
 from conformer_nemo_tpu.data.audio_io import write_wav
@@ -228,3 +234,82 @@ def test_neural_vad_pipeline(tmp_path):
          "min_duration_off": 0.2}, shift_length_in_sec=0.02)
     segs2 = vad_fn(wav, SR)
     assert segs2 == segs
+
+
+def test_regression_model_e2e(tmp_path):
+    """EncDecRegressionModel parity: float targets, MSE loss, MSE/MAE eval,
+    predict() -> floats (classification_models.py:628-755)."""
+    rows = []
+    for i in range(8):
+        f0 = 150 if i % 2 == 0 else 600
+        target = 0.0 if i % 2 == 0 else 1.0
+        path = str(tmp_path / f"r{i}.wav")
+        write_wav(path, _tone(f0, 0.5, seed=i), SR)
+        rows.append({"audio_filepath": path, "duration": 0.5, "target": target})
+    manifest = str(tmp_path / "reg.json")
+    with open(manifest, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    model = RegressionModel(mel=MelFeatureConfig(features=32),
+                            blocks=_small_blocks())
+    result = model.fit(manifest, max_steps=60, batch_size=8,
+                       fixed_seconds=0.5, lr=3e-3, log_every_n_steps=10)
+    assert result["steps"] == 60
+    metrics = model.evaluate(manifest, batch_size=8, fixed_seconds=0.5)
+    assert set(metrics) == {"mse", "mae"}
+    assert metrics["mse"] < 0.05
+
+    preds = model.predict([r["audio_filepath"] for r in rows],
+                          fixed_seconds=0.5)
+    assert all(isinstance(p, float) for p in preds)
+    for p, r in zip(preds, rows):
+        assert abs(p - r["target"]) < 0.35
+
+    # portable roundtrip
+    p = str(tmp_path / "reg.cntpu")
+    model.save_portable(p)
+    restored = RegressionModel.restore_portable(p, blocks=_small_blocks())
+    preds2 = restored.predict([rows[0]["audio_filepath"]], fixed_seconds=0.5)
+    assert abs(preds2[0] - preds[0]) < 1e-5
+
+
+def test_feature_to_seq_speaker_label_dataset(tmp_path):
+    """FeatureToSeqSpeakerLabelDataset parity: npy/npz/int loading, sorted
+    label table, stack collate (feature_to_label.py:24-139)."""
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(4):
+        feats = rng.randn(10, 6).astype(np.float32)
+        path = str(tmp_path / f"f{i}.npy")
+        np.save(path, feats)
+        rows.append({"feature_filepath": path,
+                     "seq_label": " ".join(["spkA", "spkB"][j % 2]
+                                           for j in range(i, i + 5))})
+    manifest = str(tmp_path / "feat.json")
+    with open(manifest, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ds = FeatureToSeqSpeakerLabelDataset(manifest)
+    assert ds.labels == ["spkA", "spkB"]
+    feats, flen, ids, ilen = ds[0]
+    assert feats.shape == (10, 6) and flen == 10
+    assert ids.tolist() == [0, 1, 0, 1, 0] and ilen == 5
+
+    loader = FeatureSeqLabelLoader(ds, batch_size=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    bf, bfl, bt, btl = batches[0]
+    assert bf.shape == (2, 10, 6) and bt.shape == (2, 5)
+    assert (bfl == 10).all() and (btl == 5).all()
+
+    # integer features scale to [-1, 1]; npz round-trips
+    ints = (rng.randn(4, 3) * 1000).astype(np.int16)
+    pi = str(tmp_path / "int.npy")
+    np.save(pi, ints)
+    scaled = load_external_feature(pi)
+    np.testing.assert_allclose(scaled, ints.astype(np.float32) / 2 ** 15)
+    pz = str(tmp_path / "z.npz")
+    np.savez(pz, feats=np.ones((2, 2), np.float32))
+    np.testing.assert_array_equal(load_external_feature(pz), np.ones((2, 2)))
