@@ -227,6 +227,26 @@ class _BaseASRModel:
     def save_portable(self, path: str, artifacts: Optional[dict] = None):
         save_portable(path, self.raw_cfg, self.state.params, artifacts)
 
+    def export(self, path: str, batch_size: int = 8, seconds: float = 15.0,
+               platforms: Optional[Sequence[str]] = None) -> str:
+        """Serialize the inference graph(s) as a StableHLO archive
+        (reference Exportable.export, core/classes/exportable.py:37 — ONNX
+        there, `jax.export` here; see utils/export.py). Shapes are static:
+        export once per serving bucket."""
+        from conformer_nemo_tpu.utils.export import export_fn, save_exported
+
+        sr = self.raw_cfg["model"].get("sample_rate", 16000)
+        t = int(seconds * sr)
+        fns = self._export_functions(batch_size, t)
+        return save_exported(
+            path,
+            {name: export_fn(fn, args, platforms=platforms)
+             for name, (fn, args) in fns.items()},
+        )
+
+    def _export_functions(self, batch_size: int, t_samples: int) -> dict:
+        raise NotImplementedError
+
 
 def _restore_portable_impl(cls, path: str, dtype):
     """Shared portable-archive restore for both model classes."""
@@ -317,6 +337,29 @@ class ConformerCTC(_BaseASRModel):
             params["encoder"] = old_params["encoder"]
             new_state = new_state.replace(params=params)
         self.state = new_state
+
+    def _export_functions(self, batch_size: int, t_samples: int) -> dict:
+        """One function: audio -> (log_probs, enc_lens) (the reference's
+        ExportableEncDecModel.forward_for_export, asr_model.py:103)."""
+        from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+        from conformer_nemo_tpu.models.ctc_model import CTCModel
+
+        if self.state is None:
+            self.state = self._init_state(self._make_optimizer())
+        cfg, state = self.cfg, self.state
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        model = CTCModel(cfg)
+
+        def forward(audio, lens):
+            feats, fl = log_mel_spectrogram(cfg.preprocessor, audio, lens,
+                                            training=False)
+            return model.apply(variables, feats, fl, train=False)
+
+        args = (jax.ShapeDtypeStruct((batch_size, t_samples), jnp.float32),
+                jax.ShapeDtypeStruct((batch_size,), jnp.int32))
+        return {"forward": (forward, args)}
 
     def _decode_audio_batch(self, audio, lens) -> List[str]:
         from conformer_nemo_tpu.decode.ctc_greedy import collapse_ctc_ids
@@ -411,6 +454,47 @@ class ConformerTransducer(_BaseASRModel):
         if self._eval_step is None:
             self._eval_step = make_rnnt_eval_step(self.cfg, max_symbols=self._max_symbols)
         return evaluate_rnnt_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step)
+
+    def _export_functions(self, batch_size: int, t_samples: int) -> dict:
+        """Two functions mirroring the reference's RNNT export split
+        (encoder + RNNTDecoderJoint wrapper, modules/rnnt.py:1086):
+        `encoder`: audio -> (enc [B,T,D], enc_lens); `decoder_joint`: one
+        decode step (enc_t, last_label, h, c) -> (logits, new_h, new_c)."""
+        from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+        from conformer_nemo_tpu.models.rnnt import RNNTModel
+
+        if self.state is None:
+            self.state = self._init_state(self._make_optimizer())
+        cfg, state = self.cfg, self.state
+        mcfg = cfg.model
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        model = RNNTModel(mcfg)
+
+        def encoder(audio, lens):
+            feats, fl = log_mel_spectrogram(cfg.preprocessor, audio, lens,
+                                            training=False)
+            return model.apply(variables, feats, fl, train=False,
+                               method=RNNTModel.encode)
+
+        def decoder_joint(enc_t, last_label, h, c):
+            g, (nh, nc) = model.apply(variables, last_label, (h, c),
+                                      method=RNNTModel.predict_step)
+            logits = model.apply(variables, enc_t, g,
+                                 method=RNNTModel.joint_step)
+            return logits, nh, nc
+
+        b = batch_size
+        l_, h_ = mcfg.decoder.pred_rnn_layers, mcfg.decoder.pred_hidden
+        enc_args = (jax.ShapeDtypeStruct((b, t_samples), jnp.float32),
+                    jax.ShapeDtypeStruct((b,), jnp.int32))
+        dj_args = (jax.ShapeDtypeStruct((b, mcfg.encoder.d_model), jnp.float32),
+                   jax.ShapeDtypeStruct((b,), jnp.int32),
+                   jax.ShapeDtypeStruct((l_, b, h_), jnp.float32),
+                   jax.ShapeDtypeStruct((l_, b, h_), jnp.float32))
+        return {"encoder": (encoder, enc_args),
+                "decoder_joint": (decoder_joint, dj_args)}
 
     def _decode_audio_batch(self, audio, lens) -> List[str]:
         from conformer_nemo_tpu.train.rnnt_trainer import make_rnnt_eval_step
