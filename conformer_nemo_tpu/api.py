@@ -338,6 +338,43 @@ class ConformerCTC(_BaseASRModel):
             new_state = new_state.replace(params=params)
         self.state = new_state
 
+    def transcribe_with_timestamps(self, audio_paths: Sequence[str],
+                                   batch_size: int = 16):
+        """Per-file word timestamps from greedy CTC frame alignments
+        (decoder_timestamps_utils.py `ctc_decoder_predictions_tensor_with_ts`
+        + word grouping; CTM serialization via decode/timestamps.py)."""
+        from conformer_nemo_tpu.decode.timestamps import (
+            ctc_frame_alignments, words_from_alignments)
+        from conformer_nemo_tpu.train.trainer import make_ctc_eval_step
+
+        if self._eval_step is None:
+            self._eval_step = make_ctc_eval_step(self.cfg)
+        sr = self.raw_cfg["model"].get("sample_rate", 16000)
+        time_per_frame = (self.cfg.preprocessor.window_stride
+                          * self.cfg.encoder.subsampling_factor)
+        wavs = [load_audio(p, target_sr=sr) for p in audio_paths]
+        out = [None] * len(wavs)
+        order = np.argsort([len(w) for w in wavs])
+        for i in range(0, len(order), batch_size):
+            idxs = order[i : i + batch_size]
+            chunk = [wavs[j] for j in idxs]
+            t_cap = int(math.ceil(max(len(w) for w in chunk) / 1600.0)) * 1600
+            audio = np.zeros((batch_size, t_cap), np.float32)
+            lens = np.zeros((batch_size,), np.int32)
+            for row, w in enumerate(chunk):
+                audio[row, : len(w)] = w
+                lens[row] = len(w)
+            bd = {"audio": audio, "audio_lens": lens,
+                  "tokens": np.zeros((batch_size, 8), np.int32),
+                  "token_lens": np.zeros((batch_size,), np.int32)}
+            _, preds, enc_lens = self._eval_step(self.state, bd)
+            aligns = ctc_frame_alignments(
+                np.asarray(preds), np.asarray(enc_lens), self.cfg.blank_id)
+            for row, j in enumerate(idxs):
+                out[j] = words_from_alignments(
+                    aligns[row], self.tokenizer, time_per_frame)
+        return out
+
     def _export_functions(self, batch_size: int, t_samples: int) -> dict:
         """One function: audio -> (log_probs, enc_lens) (the reference's
         ExportableEncDecModel.forward_for_export, asr_model.py:103)."""

@@ -44,25 +44,28 @@ def _skew(x: jnp.ndarray) -> jnp.ndarray:
     One-time layout change so every anti-diagonal d of the lattice becomes a
     contiguous COLUMN out[:, :, d] — the wavefront scan then touches O(B*T)
     cells per step instead of re-gathering the whole lattice.
+
+    Gather-free: shifting row t right by t == re-windowing the row-padded
+    flat buffer at stride W-1 (pure pad + reshape + slice; TPU gathers on the
+    lane axis are catastrophically slow). The overlap-read cells (d < t) land
+    in the previous row's -inf padding, and the max valid diagonal is
+    T+U1-2, so the dropped/refilled last column is never a real cell.
     """
     b, t_max, u1 = x.shape
     w = t_max + u1
-    u_idx = jnp.arange(w)[None, :] - jnp.arange(t_max)[:, None]  # [T, W]
-    valid = (u_idx >= 0) & (u_idx < u1)
-    u_safe = jnp.clip(u_idx, 0, u1 - 1)
-    out = jnp.take_along_axis(
-        x[:, :, :], jnp.broadcast_to(u_safe[None], (b, t_max, w)), axis=2
-    )
-    return jnp.where(valid[None], out, _NEG_INF)
+    p = jnp.pad(x, ((0, 0), (0, 0), (0, t_max)), constant_values=_NEG_INF)
+    f = p.reshape(b, t_max * w)
+    q = f[:, : t_max * (w - 1)].reshape(b, t_max, w - 1)
+    return jnp.pad(q, ((0, 0), (0, 0), (0, 1)), constant_values=_NEG_INF)
 
 
 def _unskew(cols: jnp.ndarray, t_max: int, u1: int) -> jnp.ndarray:
-    """cols [B, T, W] (skewed) -> lattice [B, T, U1]."""
+    """cols [B, T, W] (skewed) -> lattice [B, T, U1] (inverse re-window)."""
     b = cols.shape[0]
-    d_idx = jnp.arange(u1)[None, :] + jnp.arange(t_max)[:, None]  # [T, U1]
-    return jnp.take_along_axis(
-        cols, jnp.broadcast_to(d_idx[None], (b, t_max, u1)), axis=2
-    )
+    w = t_max + u1
+    f = cols[:, :, : w - 1].reshape(b, t_max * (w - 1))
+    f = jnp.pad(f, ((0, 0), (0, t_max)), constant_values=_NEG_INF)
+    return f.reshape(b, t_max, w)[:, :, :u1]
 
 
 def _compute_alphas(blank_lp, label_lp, t_lens, u_lens):
@@ -160,22 +163,42 @@ def _compute_betas(blank_lp, label_lp, t_lens, u_lens):
 
 
 def _prep(logits, targets, blank_id):
-    """log-softmax over V and gather blank/label log-probs.
+    """Blank/label log-probs + the log-softmax denominator, WITHOUT
+    materializing the full [B, T, U+1, V] fp32 log-softmax (the reference's
+    reduce_max/reduce_exp denominator kernels, cuda_utils/reduce.py, fused
+    with the selection):
+
+    - lse: two fused reductions over V (never materialized at fp32);
+    - blank: a slice;
+    - label: one-hot MXU matmul — TPU lane-axis gathers are ~10x slower than
+      contraction (same finding as the CTC prep; HIGHEST precision required
+      for fp32 inputs or the MXU rounds them through bf16).
 
     logits: [B, T, U+1, V]; targets: [B, U].
-    Returns (blank_lp, label_lp, logp) each [B, T, U+1(, V)].
+    Returns (blank_lp, label_lp, lse) each [B, T, U+1].
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    blank_lp = logp[..., blank_id]
-    b, t_max, u1, _ = logp.shape
+    x = logits.astype(jnp.float32)
+    m = jax.lax.stop_gradient(jnp.max(x, axis=-1))
+    lse = m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1))
+    blank_lp = x[..., blank_id] - lse
+    b, t_max, u1, v = logits.shape
     # label at (t, u) is targets[u] (the next emitted label), u < U
     tgt = jnp.pad(targets.astype(jnp.int32), ((0, 0), (0, 1)))  # [B, U+1], last col dummy
-    tgt_b = jnp.broadcast_to(tgt[:, None, :, None], (b, t_max, u1, 1))
-    label_lp = jnp.take_along_axis(logp, tgt_b, axis=-1)[..., 0]
+    onehot = (jnp.arange(v)[None, None, :] == tgt[:, :, None]).astype(logits.dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if logits.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    label_logit = jnp.einsum(
+        "btuv,buv->btu", logits, onehot,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    label_lp = label_logit - lse
     # invalidate the u = U column (no label to emit there)
     u_row = jnp.arange(u1)[None, None, :]
     label_lp = jnp.where(u_row >= (u1 - 1), _NEG_INF, label_lp)
-    return blank_lp, label_lp, logp
+    return blank_lp, label_lp, lse
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -195,7 +218,7 @@ def rnnt_loss_from_logits(
 
 
 def _rnnt_fwd(logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp):
-    blank_lp, label_lp, _ = _prep(logits, targets, blank_id)
+    blank_lp, label_lp, lse = _prep(logits, targets, blank_id)
     # clamp joint activations' effect is applied on gradients only (reference
     # LogSoftmaxGradModification, cpu_rnnt.py:141); forward unchanged.
     alpha = _compute_alphas(blank_lp, label_lp, t_lens, u_lens)
@@ -206,15 +229,16 @@ def _rnnt_fwd(logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp)
     lp_term = blank_lp[bi, t_lens - 1, u_lens]
     ll = a_term + lp_term
     nll = -(1.0 + fastemit_lambda) * ll if fastemit_lambda > 0 else -ll
-    return nll, (logits, targets, t_lens, u_lens)
+    # prep outputs + alpha ride along as residuals ([B,T,U+1] each — tiny
+    # next to logits) so backward runs ONE lattice scan (beta) instead of
+    # prep + alpha + beta.
+    return nll, (logits, targets, t_lens, u_lens, blank_lp, label_lp, lse, alpha)
 
 
 def _rnnt_bwd(blank_id, fastemit_lambda, clamp, res, g):
-    logits, targets, t_lens, u_lens = res
-    blank_lp, label_lp, logp = _prep(logits, targets, blank_id)
-    alpha = _compute_alphas(blank_lp, label_lp, t_lens, u_lens)
+    logits, targets, t_lens, u_lens, blank_lp, label_lp, lse, alpha = res
     beta = _compute_betas(blank_lp, label_lp, t_lens, u_lens)
-    b, t_max, u1, v = logp.shape
+    b, t_max, u1, v = logits.shape
     bi = jnp.arange(b)
     ll = beta[bi, 0, 0]  # total log-likelihood
 
@@ -243,7 +267,8 @@ def _rnnt_bwd(blank_id, fastemit_lambda, clamp, res, g):
 
     total = gb * gb_scale + gy  # occupancy mass leaving each lattice cell
     # grad wrt logits: softmax(logits) * total - per-path one-hot posteriors
-    grad = jnp.exp(logp) * total[..., None]
+    # (softmax rebuilt from the saved lse — no log_softmax rematerialization)
+    grad = jnp.exp(logits.astype(jnp.float32) - lse[..., None]) * total[..., None]
     grad = grad.at[..., blank_id].add(-gb * gb_scale)
     tgt = jnp.pad(targets.astype(jnp.int32), ((0, 0), (0, 1)))
     onehot_y = jnp.arange(v)[None, None, None, :] == tgt[:, None, :, None]
