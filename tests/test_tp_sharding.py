@@ -64,3 +64,55 @@ def test_param_sharding_specs():
     assert col and all(specs[k] == jax.sharding.PartitionSpec(None, "model") for k in col)
     row = [k for k in specs if "linear2/kernel" in k]
     assert row and all(specs[k] == jax.sharding.PartitionSpec("model", None) for k in row)
+
+
+def test_rnnt_tp_matches_dp():
+    """RNN-T train step under dp x tp == dp-only (encoder params sharded over
+    'model'; prednet/joint replicated)."""
+    from conformer_nemo_tpu.audio.features import MelFeatureConfig
+    from conformer_nemo_tpu.audio.spec_augment import SpecAugmentConfig
+    from conformer_nemo_tpu.models.conformer import ConformerEncoderConfig
+    from conformer_nemo_tpu.models.rnnt import (
+        RNNTDecoderConfig, RNNTJointConfig, RNNTModelConfig,
+    )
+    from conformer_nemo_tpu.train.rnnt_trainer import (
+        RNNTTrainConfig, init_rnnt_state, make_rnnt_train_step,
+    )
+
+    cfg = RNNTTrainConfig(
+        preprocessor=MelFeatureConfig(features=32, dither=0.0),
+        spec_augment=SpecAugmentConfig(),
+        model=RNNTModelConfig(
+            encoder=ConformerEncoderConfig(
+                feat_in=32, n_layers=1, d_model=32, n_heads=2,
+                ff_expansion_factor=2, conv_kernel_size=7,
+                conv_norm_type="layer_norm", dropout=0.0, dropout_att=0.0,
+                dtype=jnp.float32),
+            decoder=RNNTDecoderConfig(vocab_size=4, pred_hidden=16,
+                                      dropout=0.0, dtype=jnp.float32),
+            joint=RNNTJointConfig(joint_hidden=16, dropout=0.0,
+                                  fuse_loss_wer=False, dtype=jnp.float32),
+        ),
+    )
+    sched = make_lr_schedule({"name": "NoamAnnealing", "d_model": 32,
+                              "warmup_steps": 10}, 0.1)
+    opt = make_optimizer("adamw", sched, weight_decay=1e-3, grad_clip=1.0)
+    batch = synth_batch(b=4)
+
+    mesh_dp = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    state_dp = init_rnnt_state(cfg, opt, jax.random.PRNGKey(0), (1, 32, 64))
+    step_dp = make_rnnt_train_step(cfg, opt, mesh=mesh_dp, state_template=state_dp)
+    state_dp, m_dp = step_dp(state_dp, shard_batch(mesh_dp, batch))
+
+    mesh_tp = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    state_tp = init_rnnt_state(cfg, opt, jax.random.PRNGKey(0), (1, 32, 64))
+    step_tp = make_rnnt_train_step(cfg, opt, mesh=mesh_tp, state_template=state_tp)
+    with mesh_tp:
+        state_tp = shard_state(mesh_tp, state_tp)
+    state_tp, m_tp = step_tp(state_tp, shard_batch(mesh_tp, batch))
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-5)
+    p_dp = jax.tree.leaves(jax.device_get(state_dp.params))
+    p_tp = jax.tree.leaves(jax.device_get(state_tp.params))
+    for a, b in zip(p_dp, p_tp):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-3)
