@@ -445,6 +445,15 @@ class ClassificationModel(_EncDecLabelModel):
 
         return _vad
 
+    def change_se_context_window(self, context_window: int):
+        """Streaming-SE swap (reference change_conv_asr_se_context_window,
+        asr_module_utils.py:24): parameters are untouched — only the SE
+        pooling context of the rebuilt network changes."""
+        from conformer_nemo_tpu.models.conv_asr import change_se_context_window
+
+        self._blocks = change_se_context_window(self._blocks, context_window)
+        self.net = self._build_net()
+
     def change_labels(self, new_labels: Sequence[str]):
         """Swap the head for a new label set, keeping the encoder
         (classification_models.py:559-609)."""

@@ -40,6 +40,7 @@ class JasperBlockConfig:
     groups: int = 1
     se: bool = False
     se_reduction_ratio: int = 8
+    se_context_window: int = -1  # <1 = global context (jasper.py:416)
     residual_mode: str = "add"  # add | stride_add
 
 
@@ -96,18 +97,37 @@ class _MaskedConv(nn.Module):
 
 
 class _SqueezeExcite(nn.Module):
-    """Global (masked-mean) squeeze-excite (jasper.py:411-475)."""
+    """Masked-mean squeeze-excite with optional limited context
+    (jasper.py:411-515): context_window < 1 pools globally; otherwise the
+    pool covers a `context_window`-frame slice — a RANDOM start in training
+    (`_se_pool_step_script_train`, jasper.py:203) and the FIRST chunk at
+    inference (`_se_pool_step_script_infer`), enabling streaming-consistent
+    training."""
 
     channels: int
     reduction_ratio: int
     dtype: Any
+    context_window: int = -1
 
     @nn.compact
-    def __call__(self, x, lengths):
+    def __call__(self, x, lengths, *, train: bool = False):
         t = x.shape[1]
         mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)
-        denom = jnp.maximum(lengths.astype(x.dtype), 1.0)[:, None]
-        pooled = jnp.sum(x * mask[:, :, None], axis=1) / denom  # [B, C]
+        xm = x * mask[:, :, None]
+        cw = self.context_window
+        if cw > 0 and t >= cw:
+            if train:
+                start = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, max(t - cw, 1))
+            else:
+                start = 0
+            x_sl = jax.lax.dynamic_slice_in_dim(xm, start, cw, axis=1)
+            m_sl = jax.lax.dynamic_slice_in_dim(mask, start, cw, axis=1)
+            denom = jnp.sum(m_sl, axis=1)[:, None] + 1e-8
+            pooled = jnp.sum(x_sl, axis=1) / denom
+        else:
+            denom = jnp.maximum(lengths.astype(x.dtype), 1.0)[:, None]
+            pooled = jnp.sum(xm, axis=1) / denom  # [B, C]
         h = max(1, self.channels // self.reduction_ratio)
         y = nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(pooled)
         y = nn.relu(y)
@@ -149,9 +169,10 @@ class JasperBlock(nn.Module):
             x = nn.Dropout(cfg.dropout)(x.astype(self.dtype), deterministic=not train)
             x = x.astype(jnp.float32)
         if cfg.se:
-            x = _SqueezeExcite(cfg.filters, cfg.se_reduction_ratio, self.dtype, name="se")(
-                x, lengths
-            )
+            x = _SqueezeExcite(
+                cfg.filters, cfg.se_reduction_ratio, self.dtype,
+                cfg.se_context_window, name="se",
+            )(x, lengths, train=train)
         return x, lengths
 
 
@@ -182,3 +203,16 @@ def quartznet_15x5_blocks(feat_out: int = 1024) -> List[JasperBlockConfig]:
     blocks.append(JasperBlockConfig(filters=feat_out, repeat=1, kernel=1,
                                     residual=False, separable=False))
     return blocks
+
+
+def change_se_context_window(
+    blocks: Sequence[JasperBlockConfig], context_window: int
+) -> List[JasperBlockConfig]:
+    """Swap the SE context window across an encoder's blocks for streaming
+    inference (reference `change_conv_asr_se_context_window`,
+    asr_module_utils.py:24). The parameter structure is unchanged, so
+    existing trained params apply as-is."""
+    return [
+        dataclasses.replace(b, se_context_window=context_window) if b.se else b
+        for b in blocks
+    ]

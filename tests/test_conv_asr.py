@@ -83,3 +83,48 @@ def test_se_block_runs():
     variables = enc.init(jax.random.PRNGKey(0), feats, jnp.array([16]), train=False)
     out, _ = enc.apply(variables, feats, jnp.array([16]), train=False)
     assert out.shape == (1, 8, 16)
+
+
+def test_se_limited_context_window():
+    """Limited-context SE (jasper.py:203-229,500-515): inference pools the
+    FIRST context_window frames; params carry over when the window changes
+    (change_conv_asr_se_context_window parity)."""
+    from conformer_nemo_tpu.models.conv_asr import change_se_context_window
+
+    def enc_for(blocks):
+        return ConvASREncoder(ConvASREncoderConfig(
+            feat_in=8, blocks=tuple(blocks), dtype=jnp.float32))
+
+    blocks = [JasperBlockConfig(filters=8, repeat=1, kernel=5,
+                                residual=False, se=True)]
+    enc = enc_for(blocks)
+    rng = np.random.RandomState(0)
+    # time-growing signal: first-8-frame mean differs from global mean
+    feats = jnp.asarray(
+        (rng.rand(1, 8, 24) + np.arange(24)[None, None, :]).astype(np.float32))
+    lens = jnp.array([24])
+    variables = enc.init(jax.random.PRNGKey(0), feats, lens, train=False)
+
+    out_global, _ = enc.apply(variables, feats, lens, train=False)
+
+    blocks_cw = change_se_context_window(blocks, 8)
+    assert blocks_cw[0].se_context_window == 8
+    enc_cw = enc_for(blocks_cw)
+    # SAME params apply (structure unchanged)
+    out_cw, _ = enc_cw.apply(variables, feats, lens, train=False)
+    assert out_cw.shape == out_global.shape
+    assert not np.allclose(np.asarray(out_cw), np.asarray(out_global))
+
+    # training mode draws a random window start -> differs across rng keys
+    (o1, _), _ = enc_cw.apply(variables, feats, lens, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)},
+                              mutable=["batch_stats"])
+    (o2, _), _ = enc_cw.apply(variables, feats, lens, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(4)},
+                              mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    # non-SE blocks untouched by the swap
+    mixed = change_se_context_window(
+        [JasperBlockConfig(se=False), JasperBlockConfig(se=True)], 16)
+    assert mixed[0].se_context_window == -1 and mixed[1].se_context_window == 16
