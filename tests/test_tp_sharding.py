@@ -116,3 +116,42 @@ def test_rnnt_tp_matches_dp():
     p_tp = jax.tree.leaves(jax.device_get(state_tp.params))
     for a, b in zip(p_dp, p_tp):
         np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-3)
+
+
+def test_batchnorm_is_sync_under_data_sharding():
+    """reference sync_batchnorm=true (configs/conformer_ctc_bpe.yaml:175,
+    torch SyncBatchNorm): under pjit, BatchNorm's batch-mean over the
+    data-sharded axis is a GLOBAL reduction (XLA inserts the psum), so batch
+    stats match the single-device computation exactly — sync-BN by
+    construction, no wrapper module needed."""
+    import flax.linen as nn
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name="bn")(x)
+
+    m = M()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, True)
+
+    def step(v, x):
+        y, upd = m.apply(v, x, True, mutable=["batch_stats"])
+        return y, upd["batch_stats"]
+
+    y1, bs1 = jax.jit(step)(v, x)
+
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    y2, bs2 = jax.jit(step)(vs, xs)
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(bs1), jax.tree.leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
