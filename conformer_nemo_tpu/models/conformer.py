@@ -337,7 +337,10 @@ class ConformerConvolution(nn.Module):
             # Batch norm over (batch, time) per channel. With data-parallel
             # training, cross-replica stats ride the mesh via nn.BatchNorm
             # axis_name when inside shard_map/pjit-psum context; here we use
-            # local-batch stats (sync_batchnorm parity note: SURVEY.md 2.7).
+            # batch stats are GLOBAL under pjit data sharding (the mean over
+            # the sharded batch axis lowers to a cross-replica reduction) —
+            # sync_batchnorm parity for free; see
+            # test_tp_sharding.py::test_batchnorm_is_sync_under_data_sharding.
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
