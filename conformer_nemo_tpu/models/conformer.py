@@ -64,10 +64,13 @@ class ConformerEncoderConfig:
     dropout_emb: float = 0.0
     dropout_att: float = 0.1
     dtype: Any = jnp.bfloat16  # compute dtype; params always fp32
-    # Pallas flash kernel (no att-dropout/banding only). Wins for long T /
-    # HBM-constrained runs; at LibriSpeech lengths (~376 frames) the dense
-    # decomposition path measures faster (27ms vs 37ms fwd), so default off.
-    use_flash_attention: bool = False
+    # Pallas flash kernel (no att-dropout/banding only). Measured on one
+    # v5e chip, 17L d512 encoder fwd: T=376 dense 27 ms vs flash 37 ms;
+    # T=1500 dense 87 ms vs flash 46 ms. "auto" (default) picks flash when
+    # the static T reaches flash_attention_min_t — long-form inference gets
+    # the kernel, LibriSpeech-length training keeps the dense decomposition.
+    use_flash_attention: Any = "auto"  # True | False | "auto"
+    flash_attention_min_t: int = 1024
     # rematerialize each layer in backward (jax.checkpoint): trades ~30% more
     # FLOPs for O(layers) less activation HBM — enables bigger batches
     remat: bool = False
@@ -203,8 +206,13 @@ class RelPosMultiHeadAttention(nn.Module):
             ab = jnp.concatenate([mod_a, mod_b], axis=-1)  # [B, T, H, D]
             cs = jnp.concatenate([cos_t, sin_t], axis=-1)  # [T, D]
 
+        want_flash = (
+            cfg.use_flash_attention is True
+            or (cfg.use_flash_attention == "auto"
+                and t >= cfg.flash_attention_min_t)
+        )
         flash_ok = (
-            cfg.use_flash_attention
+            want_flash
             and use_decomposition
             and lengths is not None
             and (deterministic or cfg.dropout_att == 0.0)

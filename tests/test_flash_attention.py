@@ -67,3 +67,35 @@ def test_flash_fully_masked_row():
     v = jnp.ones((1, 16, 8))
     out = flash_attention(qs, ks, v, jnp.array([0], jnp.int32), 16, 16, 1.0, True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_auto_flash_threshold_selects_kernel():
+    """use_flash_attention='auto' routes through the Pallas kernel only at
+    T >= flash_attention_min_t; outputs match the dense path either way."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conformer_nemo_tpu.models.conformer import (
+        ConformerEncoder, ConformerEncoderConfig)
+
+    def run(min_t, t_mel):
+        cfg = ConformerEncoderConfig(
+            feat_in=16, n_layers=1, d_model=32, n_heads=2,
+            ff_expansion_factor=2, conv_kernel_size=7,
+            conv_norm_type="layer_norm", dropout=0.0, dropout_att=0.0,
+            dtype=jnp.float32, use_flash_attention="auto",
+            flash_attention_min_t=min_t)
+        enc = ConformerEncoder(cfg)
+        rng = np.random.RandomState(0)
+        feats = jnp.asarray(rng.randn(2, 16, t_mel).astype(np.float32))
+        lens = jnp.asarray([t_mel, t_mel - 40], jnp.int32)
+        v = enc.init(jax.random.PRNGKey(0), feats, lens, train=False)
+        out, ol = enc.apply(v, feats, lens, train=False)
+        return np.asarray(out), np.asarray(ol)
+
+    # below threshold -> dense; above -> flash (interpret mode on CPU).
+    dense, l1 = run(min_t=10_000, t_mel=220)
+    flash, l2 = run(min_t=8, t_mel=220)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(dense, flash, rtol=2e-4, atol=2e-5)
