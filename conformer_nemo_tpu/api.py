@@ -375,6 +375,59 @@ class ConformerCTC(_BaseASRModel):
                     aligns[row], self.tokenizer, time_per_frame)
         return out
 
+    def transcribe_buffered(self, audio_paths: Sequence[str],
+                            frame_len: float = 1.6,
+                            total_buffer: float = 4.0,
+                            batch_size: int = 4) -> List[str]:
+        """Long-form transcription via chunked buffers + middle-token merge
+        (the reference's FrameBatchASR flow, streaming_utils.py:569-720, with
+        the chunk math of its buffered-inference scripts:
+        tokens_per_chunk = ceil(frame_len / model_stride),
+        mid_delay = ceil((frame_len + (total - frame)/2) / model_stride)).
+        Arbitrary-length audio; memory stays bounded by `total_buffer`."""
+        from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+        from conformer_nemo_tpu.decode.streaming import FrameBatchASR
+        from conformer_nemo_tpu.models.ctc_model import CTCModel
+
+        cfg, state = self.cfg, self.state
+        sr = self.raw_cfg["model"].get("sample_rate", 16000)
+        stride = cfg.preprocessor.window_stride * cfg.encoder.subsampling_factor
+        tokens_per_chunk = math.ceil(frame_len / stride)
+        mid_delay = math.ceil((frame_len + (total_buffer - frame_len) / 2)
+                              / stride)
+        model = CTCModel(cfg)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        @jax.jit
+        def _fwd(feats, lens):
+            log_probs, _ = model.apply(variables, feats, lens, train=False)
+            return jnp.argmax(log_probs, axis=-1)
+
+        def forward_fn(feats, lens):
+            return _fwd(jnp.asarray(feats, jnp.float32),
+                        jnp.asarray(lens, jnp.int32))
+
+        def feature_fn(samples):
+            feats, _ = log_mel_spectrogram(
+                cfg.preprocessor, jnp.asarray(samples, jnp.float32)[None],
+                jnp.asarray([len(samples)], jnp.int32), training=False)
+            return np.asarray(feats[0])
+
+        asr = FrameBatchASR(
+            forward_fn, feature_fn, self.tokenizer, cfg.blank_id,
+            n_feat=cfg.preprocessor.features, frame_len=frame_len,
+            total_buffer=total_buffer, batch_size=batch_size,
+            window_stride=cfg.preprocessor.window_stride, sample_rate=sr)
+        out = []
+        for p in audio_paths:
+            wav = load_audio(p, target_sr=sr)
+            asr.reset()
+            asr.read_audio_samples(wav, mid_delay, stride)
+            out.append(asr.transcribe(tokens_per_chunk, mid_delay))
+        return out
+
     def _export_functions(self, batch_size: int, t_samples: int) -> dict:
         """One function: audio -> (log_probs, enc_lens) (the reference's
         ExportableEncDecModel.forward_for_export, asr_model.py:103)."""

@@ -117,3 +117,42 @@ def test_rnnt_chunked_lcs_transcribe():
     text = asr.transcribe()
     assert isinstance(text, str)
     assert len(text) > 0
+
+
+def test_api_transcribe_buffered(tmp_path):
+    """ConformerCTC.transcribe_buffered: long-form audio through chunked
+    buffers + middle-token merge roughly reproduces the whole-utterance
+    transcription (reference FrameBatchASR flow wired to a real model)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from conformer_nemo_tpu.api import ConformerCTC
+    from conformer_nemo_tpu.data.audio_io import load_audio, write_wav
+    from test_api_integration import TINY_CFG
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+    entries = []
+    for i, text in enumerate(["ab", "ba"]):
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, (rng.randn(6400) * 0.1).astype(np.float32), sr)
+        entries.append({"audio_filepath": p, "duration": 0.4, "text": text})
+    man = str(tmp_path / "m.json")
+    with open(man, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    cfgp = str(tmp_path / "cfg.yaml")
+    with open(cfgp, "w") as f:
+        f.write(TINY_CFG.format(manifest=man, exp_dir=str(tmp_path / "exp")))
+    model = ConformerCTC.from_config_file(cfgp, dtype=jnp.float32)
+    model.fit(max_epochs=8)
+
+    long_wav = np.concatenate(
+        [load_audio(e["audio_filepath"], target_sr=sr) for e in entries * 4])
+    lp = str(tmp_path / "long.wav")
+    write_wav(lp, long_wav, sr)
+    text = model.transcribe_buffered([lp], frame_len=1.0, total_buffer=2.0)[0]
+    assert isinstance(text, str) and len(text) > 0
+    # the merged stream should consist of the trained alphabet only
+    assert set(text) <= {"a", "b", " "}
