@@ -545,6 +545,60 @@ class ConformerTransducer(_BaseASRModel):
             self._eval_step = make_rnnt_eval_step(self.cfg, max_symbols=self._max_symbols)
         return evaluate_rnnt_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step)
 
+    def transcribe_buffered(self, audio_paths: Sequence[str],
+                            frame_len: float = 1.6,
+                            total_buffer: float = 4.0,
+                            batch_size: int = 4) -> List[str]:
+        """Long-form transducer transcription: chunked buffers decoded with
+        batched greedy, merged by token-level LCS overlap (the reference's
+        LongestCommonSubsequenceBatchedFrameASRRNNT, streaming_utils.py:1071)."""
+        from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+        from conformer_nemo_tpu.decode.rnnt_greedy import rnnt_greedy_decode_batched
+        from conformer_nemo_tpu.decode.streaming import BatchedFrameASRRNNT
+        from conformer_nemo_tpu.models.rnnt import RNNTModel
+
+        cfg, state = self.cfg, self.state
+        sr = self.raw_cfg["model"].get("sample_rate", 16000)
+        stride = (cfg.preprocessor.window_stride
+                  * cfg.model.encoder.subsampling_factor)
+        mid_delay = math.ceil((frame_len + (total_buffer - frame_len) / 2)
+                              / stride)
+        model = RNNTModel(cfg.model)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        @jax.jit
+        def _decode(feats, lens):
+            enc, enc_lens = model.apply(variables, feats, lens, train=False,
+                                        method=RNNTModel.encode)
+            return rnnt_greedy_decode_batched(
+                model, variables, enc, enc_lens,
+                max_symbols=self._max_symbols)
+
+        def decode_fn(feats, lens):
+            return _decode(jnp.asarray(feats, jnp.float32),
+                           jnp.asarray(lens, jnp.int32))
+
+        def feature_fn(samples):
+            feats, _ = log_mel_spectrogram(
+                cfg.preprocessor, jnp.asarray(samples, jnp.float32)[None],
+                jnp.asarray([len(samples)], jnp.int32), training=False)
+            return np.asarray(feats[0])
+
+        asr = BatchedFrameASRRNNT(
+            decode_fn, feature_fn, self.tokenizer,
+            n_feat=cfg.preprocessor.features, frame_len=frame_len,
+            total_buffer=total_buffer, batch_size=batch_size,
+            window_stride=cfg.preprocessor.window_stride, sample_rate=sr)
+        out = []
+        for p in audio_paths:
+            wav = load_audio(p, target_sr=sr)
+            asr.reset()
+            asr.read_audio_samples(wav, mid_delay, stride)
+            out.append(asr.transcribe())
+        return out
+
     def _export_functions(self, batch_size: int, t_samples: int) -> dict:
         """Two functions mirroring the reference's RNNT export split
         (encoder + RNNTDecoderJoint wrapper, modules/rnnt.py:1086):

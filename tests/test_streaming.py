@@ -156,3 +156,51 @@ def test_api_transcribe_buffered(tmp_path):
     assert isinstance(text, str) and len(text) > 0
     # the merged stream should consist of the trained alphabet only
     assert set(text) <= {"a", "b", " "}
+
+
+def test_api_rnnt_transcribe_buffered(tmp_path):
+    """ConformerTransducer.transcribe_buffered: chunked greedy + LCS merge
+    produces trained-alphabet text on long-form audio."""
+    import json
+
+    import jax.numpy as jnp
+    import yaml
+
+    from conformer_nemo_tpu.api import ConformerTransducer
+    from conformer_nemo_tpu.data.audio_io import load_audio, write_wav
+    from test_api_integration import TINY_CFG
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+    entries = []
+    for i, text in enumerate(["ab", "ba"]):
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, (rng.randn(6400) * 0.1).astype(np.float32), sr)
+        entries.append({"audio_filepath": p, "duration": 0.4, "text": text})
+    man = str(tmp_path / "m.json")
+    with open(man, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    cfgp = str(tmp_path / "cfg.yaml")
+    with open(cfgp, "w") as f:
+        f.write(TINY_CFG.format(manifest=man, exp_dir=str(tmp_path / "exp")))
+    raw = yaml.safe_load(open(cfgp))
+    m = raw["model"]
+    m["decoder"] = {"prednet": {"pred_hidden": 16, "pred_rnn_layers": 1,
+                                "dropout": 0.0}}
+    m["joint"] = {"fuse_loss_wer": False,
+                  "jointnet": {"joint_hidden": 16, "activation": "relu",
+                               "dropout": 0.0}}
+    m["decoding"] = {"strategy": "greedy_batch", "greedy": {"max_symbols": 3}}
+    cfg2 = str(tmp_path / "rnnt.yaml")
+    yaml.safe_dump(raw, open(cfg2, "w"))
+
+    model = ConformerTransducer.from_config_file(cfg2, dtype=jnp.float32)
+    model.fit(max_epochs=25)
+    long_wav = np.concatenate(
+        [load_audio(e["audio_filepath"], target_sr=sr) for e in entries * 3])
+    lp = str(tmp_path / "long.wav")
+    write_wav(lp, long_wav, sr)
+    text = model.transcribe_buffered([lp], frame_len=1.0, total_buffer=2.0)[0]
+    assert isinstance(text, str)
+    assert set(text) <= {"a", "b", " "}
