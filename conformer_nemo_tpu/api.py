@@ -199,6 +199,8 @@ class _BaseASRModel:
                 exp_manager.save(self.state, step, {"val_wer": val.get("wer")})
             if max_steps and step >= max_steps:
                 break
+        if exp_manager:
+            exp_manager.wait_for_saves()
         return {"steps": step, "time_s": time.time() - t0, **({"last_loss": float(metrics["loss"])} if metrics else {})}
 
     def transcribe(self, audio_paths: Sequence[str], batch_size: int = 16) -> List[str]:

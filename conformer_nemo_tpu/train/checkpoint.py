@@ -31,11 +31,10 @@ from flax import serialization
 # ---------------------------------------------------------------------------
 
 
-def save_train_state(ckpt_dir: str, state, step: int, metrics: Optional[dict] = None) -> str:
-    """Write state pytree -> ckpt_dir/step_{step}/ and update 'last' pointer."""
+def _write_train_state(ckpt_dir: str, host_state, step: int,
+                       metrics: Optional[dict]) -> str:
     path = os.path.join(ckpt_dir, f"step_{step}")
     os.makedirs(path, exist_ok=True)
-    host_state = jax.device_get(state)
     with open(os.path.join(path, "state.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(host_state))
     meta = {"step": step, "metrics": metrics or {}}
@@ -44,6 +43,37 @@ def save_train_state(ckpt_dir: str, state, step: int, metrics: Optional[dict] = 
     with open(os.path.join(ckpt_dir, "last"), "w") as f:
         f.write(f"step_{step}")
     return path
+
+
+def save_train_state(ckpt_dir: str, state, step: int, metrics: Optional[dict] = None) -> str:
+    """Write state pytree -> ckpt_dir/step_{step}/ and update 'last' pointer."""
+    return _write_train_state(ckpt_dir, jax.device_get(state), step, metrics)
+
+
+_SAVE_POOL = None
+
+
+def _save_pool():
+    global _SAVE_POOL
+    if _SAVE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # single worker => saves stay ordered; the 'last' pointer is monotone
+        _SAVE_POOL = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="ckpt-save")
+    return _SAVE_POOL
+
+
+def save_train_state_async(ckpt_dir: str, state, step: int,
+                           metrics: Optional[dict] = None):
+    """Non-blocking checkpoint: the device->host fetch happens NOW (the train
+    step donates its state buffers, so they must be copied before the next
+    step), serialization + disk I/O run on a background thread (the orbax
+    AsyncCheckpointer idea; the reference's torch `.save` blocks training).
+    Returns a Future resolving to the checkpoint path."""
+    host_state = jax.device_get(state)
+    return _save_pool().submit(_write_train_state, ckpt_dir, host_state,
+                               step, metrics)
 
 
 def restore_train_state(ckpt_dir: str, state_template, step: Optional[int] = None):

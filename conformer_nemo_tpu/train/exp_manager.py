@@ -34,6 +34,9 @@ class ExpManagerConfig:
     save_top_k: int = 5
     always_save_portable: bool = True
     log_every_n_steps: int = 10
+    # serialize+write checkpoints on a background thread (the device->host
+    # copy stays synchronous — the train step donates its buffers)
+    async_checkpointing: bool = True
 
 
 class ScalarLogger:
@@ -112,10 +115,29 @@ class ExperimentManager:
     def save(self, state, step: int, metrics: Optional[dict] = None):
         if not self.cfg.create_checkpoint_callback:
             return
+        if self.cfg.async_checkpointing:
+            self.wait_for_saves()  # at most one save in flight
+            fut = ckpt.save_train_state_async(self.ckpt_dir, state, step, metrics)
+
+            def _then_prune(f):
+                ckpt.prune_checkpoints(
+                    self.ckpt_dir, self.cfg.save_top_k, self.cfg.monitor,
+                    self.cfg.mode)
+
+            fut.add_done_callback(_then_prune)
+            self._pending_save = fut
+            return
         ckpt.save_train_state(self.ckpt_dir, state, step, metrics)
         ckpt.prune_checkpoints(
             self.ckpt_dir, self.cfg.save_top_k, self.cfg.monitor, self.cfg.mode
         )
+
+    def wait_for_saves(self):
+        """Block until the in-flight async checkpoint (if any) is on disk."""
+        fut = getattr(self, "_pending_save", None)
+        if fut is not None:
+            fut.result()
+            self._pending_save = None
 
     def save_portable(self, config: dict, params, artifacts=None, name: Optional[str] = None):
         out = os.path.join(self.run_dir, (name or self.cfg.name) + ".cntpu")

@@ -92,3 +92,34 @@ def test_exp_manager_resume(tmp_path):
     _, _, template = make_state(seed=2)
     restored, meta = em2.maybe_resume(template)
     assert meta["step"] == 1
+
+
+def test_async_save_matches_sync(tmp_path):
+    """save_train_state_async writes the same bytes as the sync path and
+    resolves before restore (device_get happens at submit time, so donated/
+    mutated buffers can't corrupt the snapshot)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conformer_nemo_tpu.train import checkpoint as ckpt
+    from conformer_nemo_tpu.train.trainer import TrainState
+
+    state = TrainState.create(
+        {"w": jnp.arange(4.0)}, {}, {"m": jnp.zeros(4)}, jax.random.PRNGKey(0))
+    d_sync, d_async = str(tmp_path / "s"), str(tmp_path / "a")
+    ckpt.save_train_state(d_sync, state, 3, {"val_wer": 0.5})
+    fut = ckpt.save_train_state_async(d_async, state, 3, {"val_wer": 0.5})
+    # mutate AFTER submit: the snapshot must not see it
+    state = state.replace(params={"w": jnp.full(4, 9.0)})
+    path = fut.result()
+    assert path.endswith("step_3")
+    b1 = open(f"{d_sync}/step_3/state.msgpack", "rb").read()
+    b2 = open(f"{d_async}/step_3/state.msgpack", "rb").read()
+    assert b1 == b2
+    restored, meta = ckpt.restore_train_state(
+        d_async, TrainState.create({"w": jnp.zeros(4)}, {}, {"m": jnp.zeros(4)},
+                                   jax.random.PRNGKey(0)))
+    assert meta["metrics"]["val_wer"] == 0.5
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(4.0))
