@@ -161,3 +161,21 @@ def test_bucketing_batch_size_scaling(tiny_corpus):
     assert loader.bucket_batch[0] >= 2
     total = sum(int((b.audio_lens > 0).sum()) for b in loader)
     assert total == len(samples)
+
+
+def test_native_edit_distance_matches_python():
+    """C++ edit distance == pure-Python DP on random token sequences."""
+    import numpy as np
+
+    from conformer_nemo_tpu.decode import wer as wer_mod
+
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        a = [f"w{int(x)}" for x in rng.randint(0, 12, size=rng.randint(0, 30))]
+        b = [f"w{int(x)}" for x in rng.randint(0, 12, size=rng.randint(0, 30))]
+        assert wer_mod.edit_distance(a, b) == wer_mod._edit_distance_py(a, b)
+    # classic sanity values
+    assert wer_mod.edit_distance("kitten", "sitting") == 3
+    assert wer_mod.edit_distance([], ["a", "b"]) == 2
+    # the native library actually loaded on this box (g++ is baked in)
+    assert wer_mod._load() is not None
