@@ -25,7 +25,7 @@ from common import parse_overrides  # noqa: F401  (sys.path side effect)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["train", "verify", "diarize", "embed"])
+    ap.add_argument("mode", choices=["train", "verify", "diarize", "embed", "score"])
     ap.add_argument("audio", nargs="*", default=[])
     ap.add_argument("--model")
     ap.add_argument("--train-manifest")
@@ -42,12 +42,31 @@ def main():
     ap.add_argument("--shift", type=float, default=0.75)
     ap.add_argument("--rttm-out", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--ref-rttm", nargs="*", default=[],
+                    help="score mode: reference RTTMs (paired with --hyp-rttm)")
+    ap.add_argument("--hyp-rttm", nargs="*", default=[])
+    ap.add_argument("--collar", type=float, default=0.25)
+    ap.add_argument("--ignore-overlap", action="store_true", default=True)
     args = ap.parse_args()
 
     if args.mode == "train" and not args.train_manifest:
         ap.error("train mode requires --train-manifest")
-    if args.mode != "train" and not args.model:
+    if args.mode not in ("train", "score") and not args.model:
         ap.error(f"{args.mode} mode requires --model")
+
+    if args.mode == "score":
+        # cumulative DER over (ref, hyp) RTTM pairs (speaker_utils.score_labels)
+        import json
+
+        from conformer_nemo_tpu.decode.der import score_rttm_files
+
+        if len(args.ref_rttm) != len(args.hyp_rttm) or not args.ref_rttm:
+            raise SystemExit("score mode needs matching --ref-rttm/--hyp-rttm lists")
+        res = score_rttm_files(list(zip(args.ref_rttm, args.hyp_rttm)),
+                               collar=args.collar,
+                               ignore_overlap=args.ignore_overlap)
+        print(json.dumps({k: round(v, 4) for k, v in res.items()}))
+        return 0
 
     from conformer_nemo_tpu.api_label import SpeakerLabelModel
     from conformer_nemo_tpu.audio.features import MelFeatureConfig
