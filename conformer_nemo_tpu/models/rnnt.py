@@ -63,6 +63,17 @@ class RNNTModelConfig:
     joint: RNNTJointConfig = RNNTJointConfig()
     fastemit_lambda: float = 0.0
     clamp: float = -1.0
+    # lattice sweep implementation: "scan" | "pallas" | "auto"
+    # (auto -> Pallas VMEM kernel on TPU, lax.scan elsewhere)
+    lattice_impl: str = "auto"
+
+    @property
+    def resolved_lattice_impl(self) -> str:
+        import jax
+
+        if self.lattice_impl == "auto":
+            return "pallas" if jax.default_backend() == "tpu" else "scan"
+        return self.lattice_impl
 
     @property
     def blank_id(self) -> int:
@@ -277,7 +288,8 @@ class RNNTModel(nn.Module):
                 e_c, p_c, el_c, tg_c, tl_c = args
                 logits = combine(e_c[:, :, None, :] + p_c[:, None, :, :])
                 return rnnt_loss_from_logits(
-                    logits, tg_c, el_c, tl_c, cfg.blank_id, cfg.fastemit_lambda, cfg.clamp
+                    logits, tg_c, el_c, tl_c, cfg.blank_id,
+                    cfg.fastemit_lambda, cfg.clamp, cfg.resolved_lattice_impl
                 )
 
             n_chunks = b // fused_bs
@@ -290,5 +302,5 @@ class RNNTModel(nn.Module):
         logits = self.joint(enc, g, deterministic=not train)
         return rnnt_loss_from_logits(
             logits, targets, enc_lens, target_lengths, cfg.blank_id,
-            cfg.fastemit_lambda, cfg.clamp,
+            cfg.fastemit_lambda, cfg.clamp, cfg.resolved_lattice_impl,
         )

@@ -68,8 +68,20 @@ def _unskew(cols: jnp.ndarray, t_max: int, u1: int) -> jnp.ndarray:
     return f.reshape(b, t_max, w)[:, :, :u1]
 
 
-def _compute_alphas(blank_lp, label_lp, t_lens, u_lens):
-    """alpha lattice [B, T, U+1] via a column scan over the skewed layout.
+def _valid_tu(blank_lp, t_lens, u_lens):
+    b, t_max, u1 = blank_lp.shape
+    return (
+        (jnp.arange(t_max)[None, :, None] < t_lens[:, None, None])
+        & (jnp.arange(u1)[None, None, :] <= u_lens[:, None, None])
+    )
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _compute_alphas(blank_lp, label_lp, t_lens, u_lens, impl: str = "scan"):
+    """alpha lattice [B, T, U+1] via a column sweep over the skewed layout.
 
     blank_lp: [B, T, U+1] log p(blank | t, u); label_lp: [B, T, U+1] with
     label_lp[:, t, u] = log p(y_{u+1} | t, u) (last column invalid/-inf).
@@ -79,19 +91,23 @@ def _compute_alphas(blank_lp, label_lp, t_lens, u_lens):
                       col_{d-1}[t]   + label_skew[t, d-1] )
     — both parents live in the previous column; each step is a shift + two
     adds + one logaddexp over [B, T].
+
+    impl: "scan" (lax.scan over columns) or "pallas" (whole sweep inside one
+    VMEM-resident kernel, ops/pallas/rnnt_kernel.py).
     """
     b, t_max, u1 = blank_lp.shape
     w = t_max + u1
-    t_idx = jnp.arange(t_max)
-
-    # lattice validity per (b, t, u)
-    valid_tu = (
-        (t_idx[None, :, None] < t_lens[:, None, None])
-        & (jnp.arange(u1)[None, None, :] <= u_lens[:, None, None])
-    )
+    valid_tu = _valid_tu(blank_lp, t_lens, u_lens)
 
     bl = _skew(jnp.where(valid_tu, blank_lp, _NEG_INF))  # [B, T, W]
     lb = _skew(jnp.where(valid_tu, label_lp, _NEG_INF))
+
+    if impl == "pallas":
+        from conformer_nemo_tpu.ops.pallas.rnnt_kernel import alphas_skewed_pallas
+
+        cols = alphas_skewed_pallas(bl, lb, interpret=_use_interpret())
+        alpha = _unskew(cols, t_max, u1)
+        return jnp.where(valid_tu, alpha, _NEG_INF)
 
     col0 = jnp.full((b, t_max), _NEG_INF).at[:, 0].set(0.0)
 
@@ -115,8 +131,8 @@ def _compute_alphas(blank_lp, label_lp, t_lens, u_lens):
     return jnp.where(valid_tu, alpha, _NEG_INF)
 
 
-def _compute_betas(blank_lp, label_lp, t_lens, u_lens):
-    """beta lattice [B, T, U+1] via the reverse column scan; beta[0,0] is the
+def _compute_betas(blank_lp, label_lp, t_lens, u_lens, impl: str = "scan"):
+    """beta lattice [B, T, U+1] via the reverse column sweep; beta[0,0] is the
     total log-likelihood.
 
     Recurrence: beta[t,u] = lse(blank_lp[t,u] + beta[t+1,u],
@@ -128,10 +144,7 @@ def _compute_betas(blank_lp, label_lp, t_lens, u_lens):
     w = t_max + u1
     t_idx = jnp.arange(t_max)
 
-    valid_tu = (
-        (t_idx[None, :, None] < t_lens[:, None, None])
-        & (jnp.arange(u1)[None, None, :] <= u_lens[:, None, None])
-    )
+    valid_tu = _valid_tu(blank_lp, t_lens, u_lens)
     is_terminal = (
         (t_idx[None, :, None] == (t_lens - 1)[:, None, None])
         & (jnp.arange(u1)[None, None, :] == u_lens[:, None, None])
@@ -141,6 +154,14 @@ def _compute_betas(blank_lp, label_lp, t_lens, u_lens):
     lb = _skew(jnp.where(valid_tu, label_lp, _NEG_INF))
     # terminal seed in skewed coords: column d* = t_lens-1 + u_lens, row t_lens-1
     term_skew = _skew(jnp.where(is_terminal, blank_lp, _NEG_INF))
+
+    if impl == "pallas":
+        from conformer_nemo_tpu.ops.pallas.rnnt_kernel import betas_skewed_pallas
+
+        cols = betas_skewed_pallas(bl, lb, term_skew,
+                                   interpret=_use_interpret())
+        beta = _unskew(cols, t_max, u1)
+        return jnp.where(valid_tu, beta, _NEG_INF)
 
     def step(col, d):
         # children in column d+1 of the running recursion = `col`
@@ -201,9 +222,10 @@ def _prep(logits, targets, blank_id):
     return blank_lp, label_lp, lse
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def rnnt_loss_from_logits(
-    logits, targets, t_lens, u_lens, blank_id, fastemit_lambda=0.0, clamp=-1.0
+    logits, targets, t_lens, u_lens, blank_id, fastemit_lambda=0.0, clamp=-1.0,
+    impl="scan",
 ):
     """Per-sample RNN-T negative log-likelihood [B].
 
@@ -213,15 +235,17 @@ def rnnt_loss_from_logits(
     implemented exactly as the reference kernel does (grad-side Eq. 9/10 plus
     lambda-scaled cost).
     """
-    nll, _ = _rnnt_fwd(logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp)
+    nll, _ = _rnnt_fwd(logits, targets, t_lens, u_lens, blank_id,
+                       fastemit_lambda, clamp, impl)
     return nll
 
 
-def _rnnt_fwd(logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp):
+def _rnnt_fwd(logits, targets, t_lens, u_lens, blank_id, fastemit_lambda,
+              clamp, impl="scan"):
     blank_lp, label_lp, lse = _prep(logits, targets, blank_id)
     # clamp joint activations' effect is applied on gradients only (reference
     # LogSoftmaxGradModification, cpu_rnnt.py:141); forward unchanged.
-    alpha = _compute_alphas(blank_lp, label_lp, t_lens, u_lens)
+    alpha = _compute_alphas(blank_lp, label_lp, t_lens, u_lens, impl)
     # ll = alpha[T-1, U] + blank_lp[T-1, U]
     b = logits.shape[0]
     bi = jnp.arange(b)
@@ -235,9 +259,9 @@ def _rnnt_fwd(logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp)
     return nll, (logits, targets, t_lens, u_lens, blank_lp, label_lp, lse, alpha)
 
 
-def _rnnt_bwd(blank_id, fastemit_lambda, clamp, res, g):
+def _rnnt_bwd(blank_id, fastemit_lambda, clamp, impl, res, g):
     logits, targets, t_lens, u_lens, blank_lp, label_lp, lse, alpha = res
-    beta = _compute_betas(blank_lp, label_lp, t_lens, u_lens)
+    beta = _compute_betas(blank_lp, label_lp, t_lens, u_lens, impl)
     b, t_max, u1, v = logits.shape
     bi = jnp.arange(b)
     ll = beta[bi, 0, 0]  # total log-likelihood
@@ -289,8 +313,9 @@ def _rnnt_bwd(blank_id, fastemit_lambda, clamp, res, g):
 
 
 rnnt_loss_from_logits.defvjp(
-    lambda logits, targets, t_lens, u_lens, blank_id, fastemit_lambda=0.0, clamp=-1.0: _rnnt_fwd(
-        logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp
+    lambda logits, targets, t_lens, u_lens, blank_id, fastemit_lambda=0.0,
+    clamp=-1.0, impl="scan": _rnnt_fwd(
+        logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp, impl
     ),
     _rnnt_bwd,
 )
@@ -306,9 +331,10 @@ def rnnt_loss(
     reduction: str = "mean_batch",
     fastemit_lambda: float = 0.0,
     clamp: float = -1.0,
+    impl: str = "scan",
 ):
     nll = rnnt_loss_from_logits(
-        logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp
+        logits, targets, t_lens, u_lens, blank_id, fastemit_lambda, clamp, impl
     )
     if reduction == "mean_batch":
         return jnp.mean(nll)
