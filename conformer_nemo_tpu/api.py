@@ -510,9 +510,36 @@ class ConformerTransducer(_BaseASRModel):
             variational_noise_start=int(vn.get("start_step", 0)),
         )
         self._eval_step = None
+        self._decoding = None
+        self._decoding_state_id = None
         self._max_symbols = int(
             ((m.get("decoding") or {}).get("greedy") or {}).get("max_symbols", 10)
         )
+
+    def change_decoding_strategy(self, decoding_cfg: dict):
+        """Swap the inference decoding strategy without touching weights
+        (reference change_decoding_strategy, rnnt_models.py:403)."""
+        self.raw_cfg["model"]["decoding"] = decoding_cfg
+        self._decoding = None
+        self._eval_step = None
+        self._max_symbols = int(
+            (decoding_cfg.get("greedy") or {}).get("max_symbols", 10) or 10)
+
+    def _get_decoding(self):
+        """RNNTDecoding facade bound to the CURRENT params (rebuilt after
+        fit/restore changes the state object)."""
+        from conformer_nemo_tpu.decode.rnnt_decoding import RNNTDecoding
+        from conformer_nemo_tpu.models.rnnt import RNNTModel
+
+        if self._decoding is None or self._decoding_state_id != id(self.state):
+            variables = {"params": self.state.params}
+            if self.state.batch_stats:
+                variables["batch_stats"] = self.state.batch_stats
+            self._decoding = RNNTDecoding(
+                RNNTModel(self.cfg.model), variables, self.tokenizer,
+                self.raw_cfg["model"].get("decoding") or {})
+            self._decoding_state_id = id(self.state)
+        return self._decoding
 
     @classmethod
     def from_config_file(
@@ -645,19 +672,34 @@ class ConformerTransducer(_BaseASRModel):
     def _decode_audio_batch(self, audio, lens) -> List[str]:
         from conformer_nemo_tpu.train.rnnt_trainer import make_rnnt_eval_step
 
-        if self._eval_step is None:
-            self._eval_step = make_rnnt_eval_step(self.cfg, max_symbols=self._max_symbols)
-        bd = {
-            "audio": audio, "audio_lens": lens,
-            "tokens": np.zeros((audio.shape[0], 8), np.int32),
-            "token_lens": np.zeros((audio.shape[0],), np.int32),
-        }
-        tokens, tlens, _ = self._eval_step(self.state, bd)
-        toks = np.asarray(tokens)
-        return [
-            self.tokenizer.ids_to_text(toks[i, : int(tlens[i])].tolist())
-            for i in range(audio.shape[0])
-        ]
+        strategy = (self.raw_cfg["model"].get("decoding") or {}).get(
+            "strategy", "greedy_batch")
+        if strategy in ("greedy", "greedy_batch"):
+            if self._eval_step is None:
+                self._eval_step = make_rnnt_eval_step(
+                    self.cfg, max_symbols=self._max_symbols)
+            bd = {
+                "audio": audio, "audio_lens": lens,
+                "tokens": np.zeros((audio.shape[0], 8), np.int32),
+                "token_lens": np.zeros((audio.shape[0],), np.int32),
+            }
+            tokens, tlens, _ = self._eval_step(self.state, bd)
+            toks = np.asarray(tokens)
+            return [
+                self.tokenizer.ids_to_text(toks[i, : int(tlens[i])].tolist())
+                for i in range(audio.shape[0])
+            ]
+        # beam family: encode then the RNNTDecoding facade
+        from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+        from conformer_nemo_tpu.models.rnnt import RNNTModel
+
+        dec = self._get_decoding()
+        feats, fl = log_mel_spectrogram(
+            self.cfg.preprocessor, jnp.asarray(audio, jnp.float32),
+            jnp.asarray(lens, jnp.int32), training=False)
+        enc, enc_lens = RNNTModel(self.cfg.model).apply(
+            dec.variables, feats, fl, train=False, method=RNNTModel.encode)
+        return dec.decode_to_text(enc, enc_lens)
 
     def save_portable(self, path: str, artifacts: Optional[dict] = None):
         save_portable(path, self.raw_cfg, self.state.params, artifacts)

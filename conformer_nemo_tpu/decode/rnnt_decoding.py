@@ -3,7 +3,9 @@
 Parity target: reference `RNNTDecoding` / `AbstractRNNTDecoding`
 (`/root/reference/nemo/collections/asr/metrics/rnnt_wer.py:116-370`): maps
 cfg.strategy in {greedy, greedy_batch, beam, tsd, alsd, maes} to an inference
-object and detokenizes hypotheses.
+object and detokenizes hypotheses. Adds `beam_batch` — a fully-jitted
+device-batched beam (decode/rnnt_beam_batched.py) the reference has no
+analogue for.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ class RNNTDecoding:
         greedy_cfg = cfg.get("greedy") or {}
         self.max_symbols = int(greedy_cfg.get("max_symbols", 10) or 10)
         beam_cfg = cfg.get("beam") or {}
+        self._beam_cfg = beam_cfg
         self._beam = None
         if self.strategy in ("beam", "tsd", "alsd", "maes"):
             self._beam = BeamRNNTInfer(
@@ -48,6 +51,19 @@ class RNNTDecoding:
             tokens, lens = rnnt_greedy_decode_batched(
                 self.model, self.variables, jnp.asarray(enc), jnp.asarray(enc_lens),
                 max_symbols=self.max_symbols,
+            )
+            toks = np.asarray(tokens)
+            return [toks[i, : int(lens[i])].tolist() for i in range(toks.shape[0])]
+        if self.strategy == "beam_batch":
+            from conformer_nemo_tpu.decode.rnnt_beam_batched import (
+                rnnt_beam_batched_decode)
+
+            tokens, lens = rnnt_beam_batched_decode(
+                self.model, self.variables, jnp.asarray(enc),
+                jnp.asarray(enc_lens),
+                beam_size=int(self._beam_cfg.get("beam_size", 4)),
+                max_sym_exp=int(self._beam_cfg.get("tsd_max_sym_exp", 2) or 2),
+                score_norm=bool(self._beam_cfg.get("score_norm", True)),
             )
             toks = np.asarray(tokens)
             return [toks[i, : int(lens[i])].tolist() for i in range(toks.shape[0])]

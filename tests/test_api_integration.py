@@ -192,3 +192,37 @@ def test_rnnt_api_fit_and_portable(corpus, tmp_path_factory):
     model.save_portable(art)
     model2 = ConformerTransducer.restore_portable(art, dtype=jnp.float32)
     assert model2.transcribe(wavs, batch_size=2) == hyps
+
+
+def test_rnnt_change_decoding_strategy(corpus, tmp_path_factory):
+    """decoding.strategy drives transcribe() through the RNNTDecoding facade;
+    change_decoding_strategy swaps it without touching weights
+    (rnnt_models.py:403 parity)."""
+    import jax.numpy as jnp
+    import yaml
+
+    from conformer_nemo_tpu.api import ConformerTransducer
+
+    with open(corpus["cfg"]) as f:
+        raw = yaml.safe_load(f)
+    m = raw["model"]
+    m["decoder"] = {"prednet": {"pred_hidden": 16, "pred_rnn_layers": 1,
+                                "dropout": 0.0}}
+    m["joint"] = {"fuse_loss_wer": False,
+                  "jointnet": {"joint_hidden": 16, "activation": "relu",
+                               "dropout": 0.0}}
+    m["decoding"] = {"strategy": "greedy_batch", "greedy": {"max_symbols": 3}}
+    cfg2 = str(tmp_path_factory.mktemp("rnnt_dec") / "cfg.yaml")
+    with open(cfg2, "w") as f:
+        yaml.safe_dump(raw, f)
+    model = ConformerTransducer.from_config_file(cfg2, dtype=jnp.float32)
+    model.fit(max_epochs=2)
+    wavs = [os.path.join(corpus["dir"], "0.wav"),
+            os.path.join(corpus["dir"], "1.wav")]
+    g = model.transcribe(wavs, batch_size=2)
+    model.change_decoding_strategy(
+        {"strategy": "beam_batch", "beam": {"beam_size": 2,
+                                            "tsd_max_sym_exp": 2}})
+    b = model.transcribe(wavs, batch_size=2)
+    assert len(g) == len(b) == 2
+    assert all(isinstance(x, str) for x in g + b)

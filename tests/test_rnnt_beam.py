@@ -91,3 +91,65 @@ def test_decoding_facade(overfit_model, strategy):
     assert ids[0] == targets[0].tolist(), (strategy, ids[0])
     texts = dec.decode_to_text(enc, enc_lens)
     assert isinstance(texts[0], str) and len(texts[0]) > 0
+
+
+def test_beam_batch_recovers_targets(overfit_model):
+    """Device-batched beam (one jitted program) recovers memorized targets
+    and matches greedy on an overfit model."""
+    from conformer_nemo_tpu.decode.rnnt_beam_batched import (
+        rnnt_beam_batched_decode)
+
+    model, variables, enc, enc_lens, targets = overfit_model
+    tokens, lens = rnnt_beam_batched_decode(
+        model, variables, jnp.asarray(enc), jnp.asarray(enc_lens),
+        beam_size=3, max_sym_exp=3)
+    toks = np.asarray(tokens)
+    for i in range(2):
+        assert toks[i, : int(lens[i])].tolist() == targets[i].tolist()
+
+
+def test_beam_batch_facade(overfit_model):
+    from conformer_nemo_tpu.decode.rnnt_decoding import RNNTDecoding
+
+    model, variables, enc, enc_lens, targets = overfit_model
+    dec = RNNTDecoding(model, variables, tokenizer=None, cfg={
+        "strategy": "beam_batch",
+        "beam": {"beam_size": 3, "tsd_max_sym_exp": 3}})
+    ids = dec.decode(enc, enc_lens)
+    assert ids[0] == targets[0].tolist() and ids[1] == targets[1].tolist()
+
+
+def test_beam_batch_improves_or_matches_score(overfit_model):
+    """The kept hypothesis' model score must be >= greedy's path score
+    (beam explores a superset of greedy's single path)."""
+    from conformer_nemo_tpu.decode.rnnt_beam_batched import (
+        rnnt_beam_batched_decode)
+    from test_rnnt_loss import numpy_rnnt_nll
+
+    model, variables, enc, enc_lens, _ = overfit_model
+
+    def path_nll(tokens, lens):
+        # score sequences under the full lattice (sum over alignments)
+        outs = []
+        for i in range(enc.shape[0]):
+            u = int(lens[i])
+            tg = np.asarray(tokens)[i, :u][None]
+            g = model.apply(variables, jnp.asarray(tg, jnp.int32),
+                            method=RNNTModel.predict)
+            logits = model.apply(variables, jnp.asarray(enc[i:i + 1]), g,
+                                 method=lambda m, e, gg: m.joint(e, gg))
+            outs.append(float(numpy_rnnt_nll(
+                np.asarray(jax.nn.log_softmax(
+                    jnp.asarray(logits, jnp.float32), -1))[0],
+                tg[0], int(enc_lens[i]), u, model.cfg.blank_id)))
+        return outs
+
+    gt, gl = rnnt_greedy_decode_batched(
+        model, variables, jnp.asarray(enc), jnp.asarray(enc_lens), max_symbols=3)
+    bt, bl = rnnt_beam_batched_decode(
+        model, variables, jnp.asarray(enc), jnp.asarray(enc_lens),
+        beam_size=4, max_sym_exp=3, score_norm=False)
+    nll_g = path_nll(gt, gl)
+    nll_b = path_nll(bt, bl)
+    for g_, b_ in zip(nll_g, nll_b):
+        assert b_ <= g_ + 1e-3, (nll_g, nll_b)
