@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--manifest", required=True)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--cer", action="store_true")
+    ap.add_argument("--decoding-strategy", default=None,
+                    help="rnnt: greedy_batch | beam_batch | beam | tsd | alsd | maes")
+    ap.add_argument("--beam-size", type=int, default=4)
     args = ap.parse_args(leftover)
 
     from conformer_nemo_tpu.api import ConformerCTC, ConformerTransducer
@@ -27,6 +30,14 @@ def main():
 
     cls = ConformerCTC if args.model_type == "ctc" else ConformerTransducer
     model = cls.restore_portable(args.model)
+    if args.decoding_strategy:
+        if args.model_type != "rnnt":
+            raise SystemExit("--decoding-strategy is rnnt-only")
+        model.change_decoding_strategy({
+            "strategy": args.decoding_strategy,
+            "greedy": {"max_symbols": 10},
+            "beam": {"beam_size": args.beam_size, "tsd_max_sym_exp": 2},
+        })
     samples = read_manifest(args.manifest)
     hyps = model.transcribe([s.audio_file for s in samples], batch_size=args.batch_size)
     refs = [s.text for s in samples]
