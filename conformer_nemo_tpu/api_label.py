@@ -348,9 +348,16 @@ class ClassificationModel(_EncDecLabelModel):
 
     def __init__(self, labels, sample_rate=16000, mel=None, spec_augment=None,
                  blocks=None, pooling_type: str = "avg", dtype=jnp.float32):
-        self._blocks = [
-            b if isinstance(b, JasperBlockConfig) else JasperBlockConfig(**b)
-            for b in (blocks or matchboxnet_blocks())]
+        def _mk(b):
+            if isinstance(b, JasperBlockConfig):
+                return b
+            b = dict(b)
+            # JSON round-trip turns a parallel-block kernel tuple into a list
+            if isinstance(b.get("kernel"), list):
+                b["kernel"] = tuple(b["kernel"])
+            return JasperBlockConfig(**b)
+
+        self._blocks = [_mk(b) for b in (blocks or matchboxnet_blocks())]
         self._pooling = pooling_type
         self._dtype = dtype
         super().__init__(labels, sample_rate, mel, spec_augment)

@@ -24,14 +24,24 @@ import jax
 import jax.numpy as jnp
 
 
+def compute_new_kernel_size(kernel: int, factor: float) -> int:
+    """Scale a kernel size and round up to odd (jasper.py:123-129)."""
+    new = max(int(kernel * factor), 1)
+    return new + 1 if new % 2 == 0 else new
+
+
 @dataclasses.dataclass(frozen=True)
 class JasperBlockConfig:
     """One entry of the encoder's `jasper` block list (config surface of the
-    reference QuartzNet/Jasper YAMLs)."""
+    reference QuartzNet/Jasper/CitriNet/CarneliNet YAMLs).
+
+    `kernel` may be a tuple of several sizes: the block is then a
+    ParallelBlock (reference jasper.py:1041-1161 / ParallelConvASREncoder,
+    conv_asr.py:232) — one JasperBlock per kernel size, outputs aggregated."""
 
     filters: int = 256
     repeat: int = 1
-    kernel: int = 11
+    kernel: Any = 11  # int, or tuple of ints -> parallel block
     stride: int = 1
     dilation: int = 1
     dropout: float = 0.0
@@ -41,7 +51,14 @@ class JasperBlockConfig:
     se: bool = False
     se_reduction_ratio: int = 8
     se_context_window: int = -1  # <1 = global context (jasper.py:416)
-    residual_mode: str = "add"  # add | stride_add
+    residual_mode: str = "add"  # add | stride_add | max (jasper.py:1024-1030)
+    kernel_size_factor: float = 1.0  # jasper.py:715-719
+    stride_last: bool = False  # stride only on the last repeat (jasper.py:735-739)
+    residual_dense: bool = False  # Jasper-DR panes (conv_asr.py:130, jasper.py:794)
+    # ParallelBlock knobs (jasper.py:1063-1097; used when kernel is a tuple)
+    aggregation_mode: str = "sum"  # sum | dropout (tower dropout)
+    block_dropout: float = 0.0
+    parallel_residual_mode: str = "sum"  # sum | conv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,34 +154,51 @@ class _SqueezeExcite(nn.Module):
 
 
 class JasperBlock(nn.Module):
+    """One (possibly repeated) conv-BN-ReLU-dropout block with residual.
+
+    Consumes and returns a *list* of tensors (the Jasper-DR "panes",
+    jasper.py:989-1038): the conv tower runs on the last entry; residual
+    projections are applied to every pane when `residual_dense`, and the
+    output is appended to the pane list in that case."""
+
     cfg: JasperBlockConfig
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, lengths, *, train: bool):
+    def __call__(self, xs, lengths, *, train: bool):
         cfg = self.cfg
+        kernel = compute_new_kernel_size(int(cfg.kernel), cfg.kernel_size_factor)
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-3,
             dtype=jnp.float32, name=name,
         )
-        res_input, res_lengths = x, lengths
+        dense = cfg.residual and cfg.residual_dense and len(xs) > 1
+        res_inputs = list(xs) if dense else [xs[-1]]
+        x, res_lengths = xs[-1], lengths
         for r in range(cfg.repeat):
-            stride = cfg.stride if r == 0 else 1
+            last = r == cfg.repeat - 1
+            # default: every repeat strides (jasper.py:735-739 — stride_val =
+            # stride unless stride_last); stride_last: only the final conv.
+            stride = 1 if (cfg.stride_last and not last) else cfg.stride
             x, lengths = _MaskedConv(
-                cfg.filters, cfg.kernel, stride, cfg.dilation,
+                cfg.filters, kernel, stride, cfg.dilation,
                 cfg.separable, cfg.groups, self.dtype, name=f"conv{r}",
             )(x, lengths)
             x = bn(f"bn{r}")(x.astype(jnp.float32))
-            last = r == cfg.repeat - 1
             if last and cfg.residual:
-                res, _ = _MaskedConv(
-                    cfg.filters, 1, cfg.stride if cfg.residual_mode == "stride_add" else 1,
-                    1, False, 1, self.dtype, name="res_conv",
-                )(res_input, res_lengths)
-                res = bn("res_bn")(res.astype(jnp.float32))
-                if res.shape[1] != x.shape[1]:
-                    res = res[:, : x.shape[1]]
-                x = x + res
+                for i, res_in in enumerate(res_inputs):
+                    suffix = "" if i == 0 else str(i)
+                    res, _ = _MaskedConv(
+                        cfg.filters, 1,
+                        cfg.stride if cfg.residual_mode == "stride_add" else 1,
+                        1, False, 1, self.dtype, name=f"res_conv{suffix}",
+                    )(res_in, res_lengths)
+                    res = bn(f"res_bn{suffix}")(res.astype(jnp.float32))
+                    if res.shape[1] != x.shape[1]:
+                        res = res[:, : x.shape[1]]
+                    # add / stride_add accumulate; max takes elementwise max
+                    # (jasper.py:1020-1030)
+                    x = jnp.maximum(x, res) if cfg.residual_mode == "max" else x + res
             x = nn.relu(x)
             x = nn.Dropout(cfg.dropout)(x.astype(self.dtype), deterministic=not train)
             x = x.astype(jnp.float32)
@@ -173,7 +207,65 @@ class JasperBlock(nn.Module):
                 cfg.filters, cfg.se_reduction_ratio, self.dtype,
                 cfg.se_context_window, name="se",
             )(x, lengths, train=train)
-        return x, lengths
+        out = list(xs) + [x] if cfg.residual and cfg.residual_dense else [x]
+        return out, lengths
+
+
+class ParallelBlock(nn.Module):
+    """Several JasperBlocks (one per kernel size) computed on the same input
+    and aggregated — the CarneliNet building block (reference `ParallelBlock`,
+    jasper.py:1041-1161, used by `ParallelConvASREncoder`, conv_asr.py:232).
+
+    aggregation_mode 'sum' adds tower outputs; 'dropout' scales each tower by
+    an inverted-dropout keep weight during training (tower dropout), redrawn
+    until at least one tower survives (jasper.py:1098-1103). The block input
+    is then added back, either directly ('sum') or through a pointwise conv
+    ('conv')."""
+
+    cfg: JasperBlockConfig
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, xs, lengths, *, train: bool):
+        cfg = self.cfg
+        kernels = tuple(cfg.kernel)
+        outs, out_lengths = [], None
+        for j, k in enumerate(kernels):
+            sub = dataclasses.replace(cfg, kernel=int(k))
+            sub_out, sub_len = JasperBlock(sub, self.dtype, name=f"tower{j}")(
+                xs, lengths, train=train
+            )
+            outs.append(sub_out[-1])
+            out_lengths = sub_len if out_lengths is None else jnp.maximum(out_lengths, sub_len)
+        if cfg.aggregation_mode == "dropout" and train and cfg.block_dropout > 0.0:
+            rng = self.make_rng("dropout")
+            p = cfg.block_dropout
+
+            def draw(key):
+                key, sub_key = jax.random.split(key)
+                keep = jax.random.bernoulli(sub_key, 1.0 - p, (len(kernels),))
+                return key, keep.astype(jnp.float32) / (1.0 - p)
+
+            def cond(carry):
+                _, w = carry
+                return jnp.sum(w) == 0.0
+
+            def body(carry):
+                key, _ = carry
+                return draw(key)
+
+            _, weights = jax.lax.while_loop(cond, body, draw(rng))
+            result = sum(w * o for w, o in zip(weights, outs))
+        else:
+            result = sum(outs)
+        if cfg.parallel_residual_mode == "conv":
+            res, _ = _MaskedConv(
+                cfg.filters, 1, 1, 1, False, 1, self.dtype, name="res_conv",
+            )(xs[-1], lengths)
+            result = result + res
+        else:  # 'sum' (jasper.py:1144-1145) — requires matching channels
+            result = result + xs[-1]
+        return [result], out_lengths
 
 
 class ConvASREncoder(nn.Module):
@@ -183,11 +275,14 @@ class ConvASREncoder(nn.Module):
     def __call__(self, features, lengths, *, train: bool = False):
         """[B, D_feat, T] + lengths -> [B, C_last, T'] + lengths'."""
         x = jnp.swapaxes(features, 1, 2).astype(jnp.float32)  # [B, T, C]
+        xs = [x]
         for i, bcfg in enumerate(self.cfg.blocks):
-            x, lengths = JasperBlock(bcfg, self.cfg.dtype, name=f"block{i}")(
-                x, lengths, train=train
+            is_parallel = isinstance(bcfg.kernel, (tuple, list))
+            block_cls = ParallelBlock if is_parallel else JasperBlock
+            xs, lengths = block_cls(bcfg, self.cfg.dtype, name=f"block{i}")(
+                xs, lengths, train=train
             )
-        return jnp.swapaxes(x, 1, 2), lengths
+        return jnp.swapaxes(xs[-1], 1, 2), lengths
 
 
 def quartznet_15x5_blocks(feat_out: int = 1024) -> List[JasperBlockConfig]:
