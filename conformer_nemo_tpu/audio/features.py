@@ -191,6 +191,36 @@ def _frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return x[:, idx]
 
 
+def _framed_dft(x: jnp.ndarray, basis: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """frames(x) @ basis without materializing frames (no gather).
+
+    The overlapping-frame gather was measured at ~3.5 ms/step on TPU (a pure
+    data-movement fusion at ~33 GB/s). Instead, view x as hop-sized rows
+    [B, R, hop]; frame i's samples split into K = ceil(n_fft/hop) hop-aligned
+    chunks, chunk k being rows[i + k]. The STFT then becomes a sum of K
+    matmuls over *contiguous strided slices* of the row view — each slice
+    fuses into its matmul's operand read, so the only HBM write is the
+    spectrum itself. Numerically identical to frames @ basis up to fp32
+    summation order (K=4 partial sums for n_fft=512/hop=160).
+    """
+    b, t = x.shape
+    num_frames = (t - n_fft) // hop + 1
+    n_chunks = -(-n_fft // hop)
+    rows_needed = num_frames - 1 + n_chunks
+    pad_t = rows_needed * hop - t
+    if pad_t > 0:
+        x = jnp.pad(x, ((0, 0), (0, max(pad_t, 0))))
+    rows = x[:, : rows_needed * hop].reshape(b, rows_needed, hop)
+    spec = None
+    for k in range(n_chunks):
+        size = min(hop, n_fft - k * hop)
+        bk = basis[k * hop : k * hop + size]  # [size, n_out]
+        xk = rows[:, k : k + num_frames, :size]  # [B, F, size]
+        term = jnp.einsum("bfs,sk->bfk", xk, bk, precision=jax.lax.Precision.HIGHEST)
+        spec = term if spec is None else spec + term
+    return spec
+
+
 @partial(jax.jit, static_argnames=("cfg", "training"))
 def log_mel_spectrogram(
     cfg: MelFeatureConfig,
@@ -221,9 +251,8 @@ def log_mel_spectrogram(
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
 
-    frames = _frame_signal(x, n_fft, hop)  # [B, F, n_fft]
     basis = jnp.asarray(stft_basis(n_fft, cfg.win_length, cfg.window))
-    spec = jnp.einsum("bfn,nk->bfk", frames, basis, precision=jax.lax.Precision.HIGHEST)
+    spec = _framed_dft(x, basis, n_fft, hop)  # == frames @ basis, gather-free
     n_bins = n_fft // 2 + 1
     power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2  # [B, F, bins]
     if cfg.mag_power == 1.0:

@@ -39,6 +39,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class FastDropout(nn.Module):
+    """Dropout drawing uint8 random bits: 4x less RNG HBM traffic.
+
+    `nn.Dropout` samples 32 random bits per element; on the [B,H,T,T]
+    attention probabilities across 18 layers that is ~1.3 GB/step of u32
+    RngBitGenerator output written+read through HBM (~7 ms measured on one
+    v5e chip). One byte per element is plenty for a Bernoulli draw: keep iff
+    bits >= t with t = round(rate*256). The realized drop rate t/256 (e.g.
+    0.1016 for rate=0.1) is what the rescale uses, so E[out] == x exactly.
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        t = int(round(self.rate * 256))
+        if deterministic or t <= 0:
+            return x
+        keep = 1.0 - t / 256.0
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, dtype=jnp.uint8)
+        return jnp.where(bits >= t, x / keep, 0).astype(x.dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class ConformerEncoderConfig:
     """Schema mirror of the reference encoder config
@@ -263,7 +286,7 @@ class RelPosMultiHeadAttention(nn.Module):
         attn = jnp.where(att_mask[:, None, :, :], 0.0, attn)
         # dropout on the compute-dtype tensor: halves HBM traffic on the
         # [B, H, T, T] attention probabilities
-        attn = nn.Dropout(cfg.dropout_att)(attn.astype(cfg.dtype), deterministic=deterministic)
+        attn = FastDropout(cfg.dropout_att)(attn.astype(cfg.dtype), deterministic=deterministic)
 
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, h * dk)
         return dense("linear_out", cfg.d_model)(out)
@@ -287,7 +310,7 @@ class AbsPosMultiHeadAttention(nn.Module):
         scores = jnp.where(att_mask[:, None, :, :], -10000.0, scores)
         attn = jax.nn.softmax(scores, axis=-1)
         attn = jnp.where(att_mask[:, None, :, :], 0.0, attn)
-        attn = nn.Dropout(cfg.dropout_att)(attn, deterministic=deterministic)
+        attn = FastDropout(cfg.dropout_att)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn.astype(cfg.dtype), v).reshape(b, t, h * dk)
         return dense("linear_out", cfg.d_model)(out)
 
@@ -300,7 +323,7 @@ class ConformerFeedForward(nn.Module):
         cfg = self.cfg
         x = nn.Dense(cfg.d_ff, dtype=cfg.dtype, param_dtype=jnp.float32, name="linear1")(x)
         x = nn.silu(x)  # Swish
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = FastDropout(cfg.dropout)(x, deterministic=deterministic)
         x = nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=jnp.float32, name="linear2")(x)
         return x
 
@@ -374,7 +397,7 @@ class ConformerLayer(nn.Module):
         cfg = self.cfg
         fc = 0.5
         # dropout acts on compute-dtype tensors; residual accumulates fp32
-        drop = lambda y: nn.Dropout(cfg.dropout)(
+        drop = lambda y: FastDropout(cfg.dropout)(
             y.astype(cfg.dtype), deterministic=deterministic
         ).astype(jnp.float32)
         ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
@@ -545,12 +568,12 @@ class ConformerEncoder(nn.Module):
 
         if cfg.self_attention_model == "rel_pos":
             pos_emb = jnp.asarray(sinusoidal_rel_pos_emb(t, cfg.d_model))
-            pos_emb = nn.Dropout(cfg.dropout_emb)(pos_emb, deterministic=deterministic)
+            pos_emb = FastDropout(cfg.dropout_emb)(pos_emb, deterministic=deterministic)
         else:
             pe = jnp.asarray(sinusoidal_abs_pos_emb(t, cfg.d_model))
             x = x + pe[None]
             pos_emb = None
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = FastDropout(cfg.dropout)(x, deterministic=deterministic)
 
         pad_mask, att_mask = make_masks(cfg, t, out_lengths)
 

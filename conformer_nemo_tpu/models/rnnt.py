@@ -232,8 +232,13 @@ class RNNTJoint(nn.Module):
             else:
                 x = nn.tanh(x)
             if rng is not None:
-                keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, x.shape)
-                x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+                # uint8 random bits: 4x less RNG HBM traffic than bernoulli's
+                # u32 draw on the [b,T,U,H] joint tensor (see FastDropout in
+                # models/conformer.py); realized rate t/256 keeps E[out]==x.
+                t = int(round(cfg.dropout * 256))
+                keep_p = 1.0 - t / 256.0
+                keep = jax.random.bits(rng, x.shape, dtype=jnp.uint8) >= t
+                x = jnp.where(keep, x / keep_p, 0.0)
             return jnp.dot(x.astype(cfg.dtype), kernel.astype(cfg.dtype)) + bias.astype(cfg.dtype)
 
         return fn

@@ -31,6 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# The whole-batch tile keeps in+out lattice blocks resident ([16,376,257] f32
+# padded to lanes ~= 18.5 MB), above the default 16 MB scoped-vmem budget;
+# v5e has 128 MB of VMEM, so raise the per-kernel limit instead of shrinking
+# the tile (smaller tiles serialize the T-sweep across grid steps).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _lse(a, b):
     m = jnp.maximum(a, b)
@@ -134,6 +140,7 @@ def _run_fwd(emits, skip, init, lens, bt, interpret):
         out_specs=pl.BlockSpec((bt, t_max, s_max), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_max, s_max), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(lens[:, None], emits, skip, init)
 
 
@@ -154,6 +161,7 @@ def _run_bwd(emits, skip, final, alphas, lens, lls, bt, interpret):
         out_specs=pl.BlockSpec((bt, t_max, s_max), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_max, s_max), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(lens[:, None], lls[:, None], emits, skip, final, alphas)
 
 
