@@ -70,6 +70,23 @@ class _BaseASRModel:
         self.state = None
         self._mesh = None
 
+    # -- pretrained registry (reference common.py:610 Model surface) --------
+    @classmethod
+    def list_available_models(cls):
+        from conformer_nemo_tpu.pretrained import list_available_models
+
+        return list_available_models(cls.__name__)
+
+    @classmethod
+    def from_pretrained(cls, model_name: str, cache_dir: Optional[str] = None,
+                        dtype=jnp.bfloat16):
+        """Load a registered pretrained model from the local archive cache
+        (reference Model.from_pretrained, common.py:610 — NGC download is
+        replaced by local-cache resolution; see pretrained.py)."""
+        from conformer_nemo_tpu.pretrained import resolve_pretrained
+
+        return cls.restore_portable(resolve_pretrained(model_name, cache_dir), dtype=dtype)
+
     # -- subclass contract -------------------------------------------------
     def _make_optimizer(self):
         m = self.raw_cfg["model"]
