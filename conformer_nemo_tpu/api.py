@@ -533,6 +533,31 @@ class ConformerTransducer(_BaseASRModel):
             ((m.get("decoding") or {}).get("greedy") or {}).get("max_symbols", 10)
         )
 
+    def change_vocabulary(self, tokenizer):
+        """Swap tokenizer + prediction/joint networks for fine-tuning on a
+        new vocabulary (reference EncDecRNNTModel.change_vocabulary,
+        rnnt_models.py:285 / rnnt_bpe_models.py): encoder params are kept,
+        the prediction network and joint are re-initialized at the new size."""
+        old_params = self.state.params if self.state is not None else None
+        self.tokenizer = tokenizer
+        self.cfg = dataclasses.replace(
+            self.cfg,
+            model=dataclasses.replace(
+                self.cfg.model,
+                decoder=dataclasses.replace(
+                    self.cfg.model.decoder, vocab_size=tokenizer.vocab_size
+                ),
+            ),
+        )
+        self._eval_step = None
+        self._decoding = None
+        new_state = self._init_state(self._make_optimizer())
+        if old_params is not None:
+            params = dict(new_state.params)
+            params["encoder"] = old_params["encoder"]
+            new_state = new_state.replace(params=params)
+        self.state = new_state
+
     def change_decoding_strategy(self, decoding_cfg: dict):
         """Swap the inference decoding strategy without touching weights
         (reference change_decoding_strategy, rnnt_models.py:403)."""

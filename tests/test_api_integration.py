@@ -226,3 +226,33 @@ def test_rnnt_change_decoding_strategy(corpus, tmp_path_factory):
     b = model.transcribe(wavs, batch_size=2)
     assert len(g) == len(b) == 2
     assert all(isinstance(x, str) for x in g + b)
+
+
+def test_rnnt_change_vocabulary(corpus):
+    """Transducer change_vocabulary keeps encoder params, resizes pred/joint
+    (reference EncDecRNNTModel.change_vocabulary, rnnt_models.py:285)."""
+    import jax, numpy as np
+    import jax.numpy as jnp
+    import yaml
+    from conformer_nemo_tpu.api import ConformerTransducer
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    with open(corpus["cfg"]) as f:
+        raw = yaml.safe_load(f)
+    model = ConformerTransducer(
+        {"model": {**raw["model"],
+                   "decoder": {"prednet": {"pred_hidden": 32, "pred_rnn_layers": 1}},
+                   "joint": {"jointnet": {"joint_hidden": 32}}},
+         "trainer": raw.get("trainer", {})},
+        CharTokenizer([" ", "a", "b"]), dtype=jnp.float32)
+    model.state = model._init_state(model._make_optimizer())
+    old_enc = model.state.params["encoder"]
+    old_embed = model.state.params["decoder"]["embed"]["embedding"].shape
+
+    model.change_vocabulary(CharTokenizer([" ", "a", "b", "c", "d"]))
+    assert model.cfg.model.decoder.vocab_size == 5
+    new_embed = model.state.params["decoder"]["embed"]["embedding"].shape
+    assert new_embed[0] == 6 and old_embed[0] == 4  # +1 blank row
+    a = jax.tree.leaves(old_enc)[0]
+    b = jax.tree.leaves(model.state.params["encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
