@@ -54,6 +54,17 @@ from conformer_nemo_tpu.train.optim import make_optimizer
 from conformer_nemo_tpu.train.checkpoint import load_portable, save_portable
 
 
+@dataclasses.dataclass
+class TranscriptionHypothesis:
+    """User-facing decode result (reference rnnt_utils.Hypothesis:36 surface:
+    score, y_sequence, text, timestep)."""
+
+    score: float
+    y_sequence: List[int]
+    text: str
+    timestep: Optional[List[int]] = None
+
+
 def _batch_dict(batch: Batch):
     return {
         "audio": batch.audio, "audio_lens": batch.audio_lens,
@@ -220,15 +231,23 @@ class _BaseASRModel:
             exp_manager.wait_for_saves()
         return {"steps": step, "time_s": time.time() - t0, **({"last_loss": float(metrics["loss"])} if metrics else {})}
 
-    def transcribe(self, audio_paths: Sequence[str], batch_size: int = 16) -> List[str]:
+    def transcribe(self, audio_paths: Sequence[str], batch_size: int = 16,
+                   logprobs: bool = False, return_hypotheses: bool = False):
         """Offline transcription of audio files (ctc_models.transcribe parity:
-        eval mode, dither off, bucket-padded batches)."""
+        eval mode, dither off, bucket-padded batches).
+
+        `logprobs=True` (CTC only, reference ctc_models.py:215) returns the
+        per-file [T, V+1] log-probability arrays instead of text;
+        `return_hypotheses=True` returns TranscriptionHypothesis objects
+        (text + token ids + score, mirroring rnnt_utils.Hypothesis:36)."""
+        if logprobs and return_hypotheses:
+            raise ValueError("logprobs and return_hypotheses are exclusive")
+        mode = "logprobs" if logprobs else ("hypotheses" if return_hypotheses else "text")
         sr = self.raw_cfg["model"].get("sample_rate", 16000)
         wavs = [load_audio(p, target_sr=sr) for p in audio_paths]
-        hyps: List[str] = []
         # order by length for dense buckets, restore order at the end
         order = np.argsort([len(w) for w in wavs])
-        out = [""] * len(wavs)
+        out = [None] * len(wavs)
         for i in range(0, len(order), batch_size):
             idxs = order[i : i + batch_size]
             chunk = [wavs[j] for j in idxs]
@@ -238,9 +257,9 @@ class _BaseASRModel:
             for row, w in enumerate(chunk):
                 audio[row, : len(w)] = w
                 lens[row] = len(w)
-            texts = self._decode_audio_batch(audio, lens)[: len(chunk)]
-            for j, text in zip(idxs, texts):
-                out[j] = text
+            results = self._decode_audio_batch(audio, lens, mode=mode)[: len(chunk)]
+            for j, r in zip(idxs, results):
+                out[j] = r
         return out
 
     def save_portable(self, path: str, artifacts: Optional[dict] = None):
@@ -349,6 +368,7 @@ class ConformerCTC(_BaseASRModel):
         self.tokenizer = tokenizer
         self.cfg = dataclasses.replace(self.cfg, num_classes=tokenizer.vocab_size)
         self._eval_step = None
+        self._logprob_step = None
         optimizer = self._make_optimizer()
         new_state = self._init_state(optimizer)
         if old_params is not None:
@@ -470,9 +490,47 @@ class ConformerCTC(_BaseASRModel):
                 jax.ShapeDtypeStruct((batch_size,), jnp.int32))
         return {"forward": (forward, args)}
 
-    def _decode_audio_batch(self, audio, lens) -> List[str]:
+    def _decode_audio_batch(self, audio, lens, mode: str = "text"):
         from conformer_nemo_tpu.decode.ctc_greedy import collapse_ctc_ids
         from conformer_nemo_tpu.train.trainer import make_ctc_eval_step
+
+        if mode in ("logprobs", "hypotheses"):
+            # full log-prob forward (reference transcribe(logprobs=True),
+            # ctc_models.py:215-318)
+            if getattr(self, "_logprob_step", None) is None:
+                from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+                from conformer_nemo_tpu.models.ctc_model import CTCModel
+
+                model = CTCModel(self.cfg)
+                pre = self.cfg.preprocessor
+
+                @jax.jit
+                def _lp(params, batch_stats, audio, lens):
+                    feats, fl = log_mel_spectrogram(pre, audio, lens, training=False)
+                    variables = {"params": params}
+                    if batch_stats:
+                        variables["batch_stats"] = batch_stats
+                    log_probs, enc_lens = model.apply(variables, feats, fl, train=False)
+                    return log_probs, enc_lens
+
+                self._logprob_step = _lp
+            log_probs, enc_lens = self._logprob_step(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(audio, jnp.float32), jnp.asarray(lens, jnp.int32))
+            log_probs, enc_lens = np.asarray(log_probs), np.asarray(enc_lens)
+            if mode == "logprobs":
+                return [log_probs[i, : enc_lens[i]] for i in range(audio.shape[0])]
+            preds = log_probs.argmax(-1)
+            frame_max = log_probs.max(-1)
+            id_lists = collapse_ctc_ids(preds, enc_lens, self.cfg.blank_id)
+            return [
+                TranscriptionHypothesis(
+                    score=float(frame_max[i, : enc_lens[i]].sum()),
+                    y_sequence=ids, text=self.tokenizer.ids_to_text(ids),
+                    timestep=None,
+                )
+                for i, ids in enumerate(id_lists)
+            ]
 
         if self._eval_step is None:
             self._eval_step = make_ctc_eval_step(self.cfg)
@@ -711,9 +769,13 @@ class ConformerTransducer(_BaseASRModel):
         return {"encoder": (encoder, enc_args),
                 "decoder_joint": (decoder_joint, dj_args)}
 
-    def _decode_audio_batch(self, audio, lens) -> List[str]:
+    def _decode_audio_batch(self, audio, lens, mode: str = "text"):
         from conformer_nemo_tpu.train.rnnt_trainer import make_rnnt_eval_step
 
+        if mode == "logprobs":
+            raise ValueError(
+                "logprobs=True is CTC-only (the reference transducer "
+                "transcribe has no logprobs kwarg, rnnt_models.py:218)")
         strategy = (self.raw_cfg["model"].get("decoding") or {}).get(
             "strategy", "greedy_batch")
         if strategy in ("greedy", "greedy_batch"):
@@ -727,10 +789,15 @@ class ConformerTransducer(_BaseASRModel):
             }
             tokens, tlens, _ = self._eval_step(self.state, bd)
             toks = np.asarray(tokens)
-            return [
-                self.tokenizer.ids_to_text(toks[i, : int(tlens[i])].tolist())
-                for i in range(audio.shape[0])
-            ]
+            ids = [toks[i, : int(tlens[i])].tolist() for i in range(audio.shape[0])]
+            if mode == "hypotheses":
+                return [
+                    TranscriptionHypothesis(
+                        score=0.0, y_sequence=seq,
+                        text=self.tokenizer.ids_to_text(seq))
+                    for seq in ids
+                ]
+            return [self.tokenizer.ids_to_text(seq) for seq in ids]
         # beam family: encode then the RNNTDecoding facade
         from conformer_nemo_tpu.audio.features import log_mel_spectrogram
         from conformer_nemo_tpu.models.rnnt import RNNTModel
@@ -741,6 +808,14 @@ class ConformerTransducer(_BaseASRModel):
             jnp.asarray(lens, jnp.int32), training=False)
         enc, enc_lens = RNNTModel(self.cfg.model).apply(
             dec.variables, feats, fl, train=False, method=RNNTModel.encode)
+        if mode == "hypotheses":
+            id_lists = dec.decode(enc, enc_lens)
+            return [
+                TranscriptionHypothesis(
+                    score=0.0, y_sequence=seq,
+                    text=self.tokenizer.ids_to_text(seq))
+                for seq in id_lists
+            ]
         return dec.decode_to_text(enc, enc_lens)
 
     def save_portable(self, path: str, artifacts: Optional[dict] = None):

@@ -256,3 +256,31 @@ def test_rnnt_change_vocabulary(corpus):
     a = jax.tree.leaves(old_enc)[0]
     b = jax.tree.leaves(model.state.params["encoder"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transcribe_logprobs_and_hypotheses(corpus):
+    """transcribe(logprobs=True / return_hypotheses=True) parity surface
+    (reference ctc_models.transcribe kwargs, ctc_models.py:215)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from conformer_nemo_tpu.api import ConformerCTC, TranscriptionHypothesis
+
+    model = ConformerCTC.from_config_file(corpus["cfg"], dtype=jnp.float32)
+    model.state = model._init_state(model._make_optimizer())
+    import json as _json
+    with open(corpus["manifest"]) as f:
+        paths = [_json.loads(l)["audio_filepath"] for l in f][:2]
+
+    lps = model.transcribe(paths, batch_size=2, logprobs=True)
+    assert len(lps) == 2
+    for lp in lps:
+        assert lp.ndim == 2 and lp.shape[1] == model.cfg.num_classes + 1
+        # log-softmax rows normalize
+        np.testing.assert_allclose(np.exp(lp).sum(-1), 1.0, atol=1e-3)
+
+    hyps = model.transcribe(paths, batch_size=2, return_hypotheses=True)
+    texts = model.transcribe(paths, batch_size=2)
+    for h, t in zip(hyps, texts):
+        assert isinstance(h, TranscriptionHypothesis)
+        assert h.text == t
+        assert h.text == model.tokenizer.ids_to_text(h.y_sequence)
