@@ -212,22 +212,24 @@ class RelPosMultiHeadAttention(nn.Module):
         qv = (q + pos_bias_v).astype(cfg.dtype)
 
         use_decomposition = cfg.dropout_emb == 0.0
-        ab = cs = None
+        mod_a = mod_b = sin_t = cos_t = None
         if use_decomposition:
-            # qw[b,i,h,e] = sum_d qv[b,i,h,d] * W_pos[e,h,d]
+            # qw[b,i,h,e] = sum_d qv[b,i,h,d] * W_pos[e,h,d]; we need its
+            # even/odd interleaved halves qs/qc — slice the SMALL weight
+            # (rows of [D,H,dk]) instead of the big activation: interleaved
+            # lane-strided slices of [B,T,H,D] lowered to per-layer gather
+            # copies (~0.25 ms/layer fwd+bwd on v5e).
             w = w_pos.astype(cfg.dtype).reshape(d_model, h, dk)
-            qw = jnp.einsum("bihd,ehd->bihe", qv, w)  # [B, T, H, D]
             inv_freq = np.exp(
                 np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
             )
             pos = np.arange(t, dtype=np.float64)[:, None] * inv_freq[None, :]
             sin_t = jnp.asarray(np.sin(pos), cfg.dtype)  # [T, D/2]
             cos_t = jnp.asarray(np.cos(pos), cfg.dtype)
-            qs, qc = qw[..., 0::2], qw[..., 1::2]  # [B, T, H, D/2]
+            qs = jnp.einsum("bihd,ehd->bihe", qv, w[0::2])  # [B, T, H, D/2]
+            qc = jnp.einsum("bihd,ehd->bihe", qv, w[1::2])
             mod_a = qs * sin_t[:, None, :] + qc * cos_t[:, None, :]
             mod_b = -qs * cos_t[:, None, :] + qc * sin_t[:, None, :]
-            ab = jnp.concatenate([mod_a, mod_b], axis=-1)  # [B, T, H, D]
-            cs = jnp.concatenate([cos_t, sin_t], axis=-1)  # [T, D]
 
         want_flash = (
             cfg.use_flash_attention is True
@@ -247,6 +249,8 @@ class RelPosMultiHeadAttention(nn.Module):
             # HBM materialization.
             from conformer_nemo_tpu.ops.pallas.flash_attention import flash_attention
 
+            ab = jnp.concatenate([mod_a, mod_b], axis=-1)  # [B, T, H, D]
+            cs = jnp.concatenate([cos_t, sin_t], axis=-1)  # [T, D]
             qs_full = jnp.concatenate([qu, ab], axis=-1)  # [B, T, H, dk+D]
             cs_b = jnp.broadcast_to(
                 cs[None, :, None, :], (b, t, h, d_model)
@@ -274,7 +278,12 @@ class RelPosMultiHeadAttention(nn.Module):
         # dense-score path
         matrix_ac = jnp.einsum("bthd,bshd->bhts", qu, k)
         if use_decomposition:
-            matrix_bd = jnp.einsum("bihk,jk->bhij", ab, cs)  # [B, H, T, T]
+            # bd = mod_a @ cos^T + mod_b @ sin^T ([B, H, T, T]); two K=D/2
+            # matmuls summed — equal FLOPs to the concatenated form, no
+            # [B,T,H,D] concat materialization.
+            matrix_bd = jnp.einsum("bihk,jk->bhij", mod_a, cos_t) + jnp.einsum(
+                "bihk,jk->bhij", mod_b, sin_t
+            )
         else:
             p = (pos_emb.astype(cfg.dtype) @ w_pos.astype(cfg.dtype)).reshape(-1, h, dk)
             matrix_bd = jnp.einsum("bthd,phd->bhtp", qv, p)
