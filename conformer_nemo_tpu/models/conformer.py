@@ -226,10 +226,13 @@ class RelPosMultiHeadAttention(nn.Module):
             pos = np.arange(t, dtype=np.float64)[:, None] * inv_freq[None, :]
             sin_t = jnp.asarray(np.sin(pos), cfg.dtype)  # [T, D/2]
             cos_t = jnp.asarray(np.cos(pos), cfg.dtype)
-            qs = jnp.einsum("bihd,ehd->bihe", qv, w[0::2])  # [B, T, H, D/2]
-            qc = jnp.einsum("bihd,ehd->bihe", qv, w[1::2])
-            mod_a = qs * sin_t[:, None, :] + qc * cos_t[:, None, :]
-            mod_b = -qs * cos_t[:, None, :] + qc * sin_t[:, None, :]
+            # [B, H, T, D/2] orientation: the bd matmul and its backward then
+            # consume/produce [B, H, T, T] directly (no transpose of the big
+            # score-sized gradient).
+            qs = jnp.einsum("bihd,ehd->bhie", qv, w[0::2])
+            qc = jnp.einsum("bihd,ehd->bhie", qv, w[1::2])
+            mod_a = qs * sin_t[None, None] + qc * cos_t[None, None]
+            mod_b = -qs * cos_t[None, None] + qc * sin_t[None, None]
 
         want_flash = (
             cfg.use_flash_attention is True
@@ -249,7 +252,7 @@ class RelPosMultiHeadAttention(nn.Module):
             # HBM materialization.
             from conformer_nemo_tpu.ops.pallas.flash_attention import flash_attention
 
-            ab = jnp.concatenate([mod_a, mod_b], axis=-1)  # [B, T, H, D]
+            ab = jnp.concatenate([mod_a, mod_b], axis=-1).transpose(0, 2, 1, 3)  # [B, T, H, D]
             cs = jnp.concatenate([cos_t, sin_t], axis=-1)  # [T, D]
             qs_full = jnp.concatenate([qu, ab], axis=-1)  # [B, T, H, dk+D]
             cs_b = jnp.broadcast_to(
@@ -281,8 +284,8 @@ class RelPosMultiHeadAttention(nn.Module):
             # bd = mod_a @ cos^T + mod_b @ sin^T ([B, H, T, T]); two K=D/2
             # matmuls summed — equal FLOPs to the concatenated form, no
             # [B,T,H,D] concat materialization.
-            matrix_bd = jnp.einsum("bihk,jk->bhij", mod_a, cos_t) + jnp.einsum(
-                "bihk,jk->bhij", mod_b, sin_t
+            matrix_bd = jnp.einsum("bhik,jk->bhij", mod_a, cos_t) + jnp.einsum(
+                "bhik,jk->bhij", mod_b, sin_t
             )
         else:
             p = (pos_emb.astype(cfg.dtype) @ w_pos.astype(cfg.dtype)).reshape(-1, h, dk)
