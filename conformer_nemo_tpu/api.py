@@ -568,6 +568,13 @@ class ConformerTransducer(_BaseASRModel):
                     pred_hidden=prednet.get("pred_hidden", defaults.get("pred_hidden", 640)),
                     pred_rnn_layers=prednet.get("pred_rnn_layers", 1),
                     dropout=prednet.get("dropout", 0.1),
+                    # reference prednet/decoder knobs (modules/rnnt.py:139-160)
+                    forget_gate_bias=float(prednet.get("forget_gate_bias", 1.0)),
+                    t_max=prednet.get("t_max"),
+                    weights_init_scale=float(prednet.get("weights_init_scale", 1.0)),
+                    norm=dec_cfg.get("normalization_mode"),
+                    random_state_sampling=bool(dec_cfg.get("random_state_sampling", False)),
+                    blank_as_pad=bool(dec_cfg.get("blank_as_pad", True)),
                     dtype=dtype,
                 ),
                 joint=RNNTJointConfig(

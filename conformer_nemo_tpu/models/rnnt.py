@@ -41,6 +41,16 @@ class RNNTDecoderConfig:
     pred_rnn_layers: int = 1
     dropout: float = 0.1
     blank_as_pad: bool = True
+    # LSTM construction knobs, mirroring reference common/parts/rnn.py:25
+    # (`rnn()` factory) + prednet config surface (modules/rnnt.py:51-180):
+    forget_gate_bias: float = 1.0  # constant added to the f gate (reparam of
+    # the reference's bias *init*: gradient-identical, b_eff = b + const)
+    t_max: Optional[int] = None  # Chrono init (rnn.py:197-211): forget bias
+    # = log U(1, t_max-1), input bias = -forget bias; disables forget_gate_bias
+    weights_init_scale: float = 1.0  # post-init scale of all LSTM weights/biases
+    norm: Optional[str] = None  # None | "layer" (ln_lstm, rnn.py:407,455)
+    random_state_sampling: bool = False  # N(0,1) init state in training
+    # (modules/rnnt.py:140-157)
     dtype: Any = jnp.bfloat16
 
 
@@ -109,12 +119,43 @@ class PredictionNetwork(nn.Module):
             cfg.vocab_size + 1, h, dtype=cfg.dtype, param_dtype=jnp.float32,
             name="embed",
         )
+        scale = float(cfg.weights_init_scale)
+
+        def scaled(init):
+            if scale == 1.0:
+                return init
+            return lambda key, shape, dtype: init(key, shape, dtype) * scale
+
+        def bias_init(key, shape, dtype):
+            # gate order i, f, g, o (see _cell). Chrono init (rnn.py:197-211):
+            # forget = log U(1, t_max-1), input = -forget; else zeros (the
+            # constant forget_gate_bias is added at runtime in _cell).
+            b0 = jnp.zeros(shape, dtype)
+            if cfg.t_max is not None:
+                fb = jnp.log(jax.random.uniform(key, (h,), dtype, 1.0, float(cfg.t_max - 1)))
+                b0 = b0.at[h : 2 * h].set(fb).at[0:h].set(-fb)
+            return b0 * scale
+
         wx, wh, b = [], [], []
         for i in range(cfg.pred_rnn_layers):
-            wx.append(self.param(f"lstm{i}_wx", nn.initializers.xavier_uniform(), (h, 4 * h), jnp.float32))
-            wh.append(self.param(f"lstm{i}_wh", nn.initializers.orthogonal(), (h, 4 * h), jnp.float32))
-            b.append(self.param(f"lstm{i}_b", nn.initializers.zeros, (4 * h,), jnp.float32))
+            wx.append(self.param(f"lstm{i}_wx", scaled(nn.initializers.xavier_uniform()), (h, 4 * h), jnp.float32))
+            wh.append(self.param(f"lstm{i}_wh", scaled(nn.initializers.orthogonal()), (h, 4 * h), jnp.float32))
+            b.append(self.param(f"lstm{i}_b", bias_init, (4 * h,), jnp.float32))
         self.wx, self.wh, self.b = wx, wh, b
+        if cfg.norm == "layer":
+            # LayerNormLSTM (reference ln_lstm rnn.py:407 / LayerNormLSTMCell
+            # rnn.py:455): LN over the ih and hh gate pre-activations and the
+            # new cell state, each with learnable scale/bias. Explicit params
+            # (not nn.LayerNorm) so the pure _cell can run inside lax.scan.
+            def lnp(name, n):
+                return (
+                    self.param(name + "_scale", nn.initializers.ones, (n,), jnp.float32),
+                    self.param(name + "_bias", nn.initializers.zeros, (n,), jnp.float32),
+                )
+
+            self.ln_i = [lnp(f"lstm{i}_ln_i", 4 * h) for i in range(cfg.pred_rnn_layers)]
+            self.ln_h = [lnp(f"lstm{i}_ln_h", 4 * h) for i in range(cfg.pred_rnn_layers)]
+            self.ln_c = [lnp(f"lstm{i}_ln_c", h) for i in range(cfg.pred_rnn_layers)]
         self.drop = nn.Dropout(cfg.dropout)
 
     def _embed(self, labels: jnp.ndarray) -> jnp.ndarray:
@@ -128,14 +169,27 @@ class PredictionNetwork(nn.Module):
         return (h, jnp.zeros_like(h))
 
     def _cell(self, layer: int, x, h, c):
-        """Standard LSTM cell, fp32 state, forget-gate bias +1."""
-        dt = self.cfg.dtype
-        z = (
-            jnp.dot(x.astype(dt), self.wx[layer].astype(dt))
-            + jnp.dot(h.astype(dt), self.wh[layer].astype(dt))
-        ).astype(jnp.float32) + self.b[layer]
+        """Standard LSTM cell, fp32 state, runtime-constant forget-gate bias
+        (gradient-identical reparameterization of the reference's bias init)."""
+        cfg = self.cfg
+        dt = cfg.dtype
+        def ln(x, p):
+            # torch.nn.LayerNorm semantics (eps 1e-5), pure fn (scan-safe)
+            m = x.mean(-1, keepdims=True)
+            v = ((x - m) ** 2).mean(-1, keepdims=True)
+            return (x - m) * jax.lax.rsqrt(v + 1e-5) * p[0] + p[1]
+
+        ig = jnp.dot(x.astype(dt), self.wx[layer].astype(dt)).astype(jnp.float32)
+        hg = jnp.dot(h.astype(dt), self.wh[layer].astype(dt)).astype(jnp.float32)
+        if cfg.norm == "layer":
+            z = ln(ig, self.ln_i[layer]) + ln(hg, self.ln_h[layer]) + self.b[layer]
+        else:
+            z = ig + hg + self.b[layer]
         i, f, g, o = jnp.split(z, 4, axis=-1)
-        new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        fbias = 0.0 if cfg.t_max is not None else cfg.forget_gate_bias
+        new_c = jax.nn.sigmoid(f + fbias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        if cfg.norm == "layer":
+            new_c = ln(new_c, self.ln_c[layer])
         new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
         return new_h, new_c
 
@@ -147,14 +201,20 @@ class PredictionNetwork(nn.Module):
         x = self._embed(labels)  # [B, U+1, H]
 
         for layer in range(self.cfg.pred_rnn_layers):
-            h0 = jnp.zeros((b, self.cfg.pred_hidden), jnp.float32)
+            h0 = c0 = jnp.zeros((b, self.cfg.pred_hidden), jnp.float32)
+            if self.cfg.random_state_sampling and not deterministic:
+                # N(0,1) initial state during training (reference
+                # modules/rnnt.py:140-157 random_state_sampling)
+                kh, kc = jax.random.split(self.make_rng("dropout"))
+                h0 = jax.random.normal(kh, h0.shape, jnp.float32)
+                c0 = jax.random.normal(kc, c0.shape, jnp.float32)
 
             def step_fn(carry, x_t, _layer=layer):
                 h, c = carry
                 h, c = self._cell(_layer, x_t, h, c)
                 return (h, c), h
 
-            _, ys = jax.lax.scan(step_fn, (h0, h0), jnp.swapaxes(x, 0, 1))
+            _, ys = jax.lax.scan(step_fn, (h0, c0), jnp.swapaxes(x, 0, 1))
             x = jnp.swapaxes(ys, 0, 1)  # [B, U+1, H]
             if layer < self.cfg.pred_rnn_layers - 1:
                 # inter-layer dropout only (torch LSTM semantics)

@@ -138,3 +138,49 @@ def test_rnnt_overfit_and_decode():
     toks = np.asarray(tokens)
     hyp0 = toks[0, : int(lens[0])].tolist()
     assert hyp0 == np.asarray(tg)[0].tolist(), (hyp0, np.asarray(tg)[0].tolist(), losses[-1])
+
+
+def test_prednet_lstm_construction_knobs():
+    """Chrono init, weights_init_scale, layer-norm LSTM, random state sampling
+    (reference common/parts/rnn.py:25 rnn() factory + modules/rnnt.py:139-160)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from conformer_nemo_tpu.models.rnnt import PredictionNetwork, RNNTDecoderConfig
+
+    # chrono: forget bias = log U(1, t_max-1), input bias = -forget
+    cfg = RNNTDecoderConfig(vocab_size=8, pred_hidden=16, t_max=50, dtype=jnp.float32)
+    net = PredictionNetwork(cfg)
+    targets = jnp.zeros((2, 3), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), targets)["params"]
+    b = np.asarray(params["lstm0_b"])
+    h = 16
+    fb, ib = b[h:2*h], b[0:h]
+    assert (fb >= 0).all() and (fb <= np.log(49.0) + 1e-6).all()
+    np.testing.assert_allclose(ib, -fb, rtol=1e-6)
+
+    # weights_init_scale scales weights
+    cfg1 = RNNTDecoderConfig(vocab_size=8, pred_hidden=16, weights_init_scale=0.5, dtype=jnp.float32)
+    p1 = PredictionNetwork(cfg1).init(jax.random.PRNGKey(0), targets)["params"]
+    cfg2 = RNNTDecoderConfig(vocab_size=8, pred_hidden=16, dtype=jnp.float32)
+    p2 = PredictionNetwork(cfg2).init(jax.random.PRNGKey(0), targets)["params"]
+    np.testing.assert_allclose(np.asarray(p1["lstm0_wx"]), 0.5 * np.asarray(p2["lstm0_wx"]), rtol=1e-6)
+
+    # layer-norm LSTM builds LN params and runs
+    cfg3 = RNNTDecoderConfig(vocab_size=8, pred_hidden=16, norm="layer", dtype=jnp.float32)
+    net3 = PredictionNetwork(cfg3)
+    v3 = net3.init(jax.random.PRNGKey(0), targets)
+    assert "lstm0_ln_i_scale" in v3["params"] and "lstm0_ln_c_scale" in v3["params"]
+    out = net3.apply(v3, targets)
+    assert out.shape == (2, 4, 16) and bool(jnp.isfinite(out).all())
+
+    # random_state_sampling: training outputs differ across rng, eval identical
+    cfg4 = RNNTDecoderConfig(vocab_size=8, pred_hidden=16, random_state_sampling=True, dtype=jnp.float32)
+    net4 = PredictionNetwork(cfg4)
+    v4 = net4.init(jax.random.PRNGKey(0), targets)
+    o1 = net4.apply(v4, targets, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = net4.apply(v4, targets, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    e1 = net4.apply(v4, targets)
+    e2 = net4.apply(v4, targets)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
