@@ -113,6 +113,12 @@ class PredictionNetwork(nn.Module):
     def setup(self):
         cfg = self.cfg
         h = cfg.pred_hidden
+        if cfg.norm not in (None, "layer"):
+            # reference rnn() also supports norm="batch" (BNRNNSum,
+            # rnn.py:287) — a different stacked-RNN architecture no recipe
+            # uses; fail loudly rather than silently ignoring the flag.
+            raise NotImplementedError(
+                f"normalization_mode={cfg.norm!r} not supported (None | 'layer')")
         # +1 for blank; blank row zeroed at lookup when blank_as_pad
         # (reference Embedding(..., padding_idx=blank), rnnt.py:111-117).
         self.embed = nn.Embed(
