@@ -37,21 +37,36 @@ class ExpManagerConfig:
     # serialize+write checkpoints on a background thread (the device->host
     # copy stays synchronous — the train step donates its buffers)
     async_checkpointing: bool = True
+    # W&B logging (reference exp_manager create_wandb_logger /
+    # wandb_logger_kwargs, exp_manager.py:622): enabled only when the wandb
+    # package is importable; otherwise a warning is logged and training
+    # proceeds (this image has no network egress).
+    create_wandb_logger: bool = False
+    wandb_logger_kwargs: Optional[dict] = None
 
 
 class ScalarLogger:
-    """JSONL scalar logger (+ optional TB events if tensorboardX exists)."""
+    """JSONL scalar logger (+ optional TB events if tensorboardX exists,
+    + optional W&B run if requested and wandb is importable)."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, wandb_kwargs: Optional[dict] = None):
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
+        self._wandb = None
         try:
             from tensorboardX import SummaryWriter  # optional
 
             self._tb = SummaryWriter(log_dir)
         except Exception:
             pass
+        if wandb_kwargs is not None:
+            try:
+                import wandb  # optional
+
+                self._wandb = wandb.init(dir=log_dir, **wandb_kwargs)
+            except Exception as e:  # no package / no network: degrade loudly
+                print(f"[exp_manager] wandb logging requested but unavailable: {e}")
 
     def log(self, step: int, **scalars):
         rec = {"step": step, "time": time.time(), **{k: float(v) for k, v in scalars.items()}}
@@ -60,11 +75,15 @@ class ScalarLogger:
         if self._tb:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self._wandb:
+            self._wandb.log({k: float(v) for k, v in scalars.items()}, step=step)
 
     def close(self):
         self._f.close()
         if self._tb:
             self._tb.close()
+        if self._wandb:
+            self._wandb.finish()
 
 
 class ExperimentManager:
@@ -88,7 +107,10 @@ class ExperimentManager:
         self.run_dir = os.path.join(exp_dir, cfg.name, version)
         self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
-        self.logger = ScalarLogger(self.run_dir)
+        self.logger = ScalarLogger(
+            self.run_dir,
+            (cfg.wandb_logger_kwargs or {}) if cfg.create_wandb_logger else None,
+        )
         self._write_env_info()
 
     def _write_env_info(self):
