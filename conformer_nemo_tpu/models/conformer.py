@@ -229,8 +229,11 @@ class RelPosMultiHeadAttention(nn.Module):
             # [B, H, T, D/2] orientation: the bd matmul and its backward then
             # consume/produce [B, H, T, T] directly (no transpose of the big
             # score-sized gradient).
-            qs = jnp.einsum("bihd,ehd->bhie", qv, w[0::2])
-            qc = jnp.einsum("bihd,ehd->bhie", qv, w[1::2])
+            # one full-width matmul (the two half-width versions ran ~4x
+            # below MXU peak); the 256-boundary output slices are tile-aligned
+            w_cat = jnp.concatenate([w[0::2], w[1::2]], axis=0)  # [D, H, dk]
+            qsc = jnp.einsum("bihd,ehd->bhie", qv, w_cat)  # [B, H, T, D]
+            qs, qc = qsc[..., : d_model // 2], qsc[..., d_model // 2 :]
             mod_a = qs * sin_t[None, None] + qc * cos_t[None, None]
             mod_b = -qs * cos_t[None, None] + qc * sin_t[None, None]
 
