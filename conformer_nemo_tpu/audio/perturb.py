@@ -58,19 +58,99 @@ class SpeedPerturbation(Perturbation):
         return resample_poly(samples, new_sr, sr)
 
 
+def _stft_np(y: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """librosa.core.stft semantics: periodic hann, win_length=n_fft,
+    center=True reflect padding. -> complex [n_fft//2+1, frames]."""
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
+    pad = n_fft // 2
+    y = np.pad(y, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = y[idx] * win[None, :]
+    return np.fft.rfft(frames, axis=1).T.astype(np.complex64)
+
+
+def _istft_np(D: np.ndarray, hop: int, length: int) -> np.ndarray:
+    """librosa.core.istft semantics: periodic hann overlap-add with
+    squared-window normalization, center trim, crop/pad to `length`."""
+    n_fft = 2 * (D.shape[0] - 1)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
+    frames = np.fft.irfft(D.T, n=n_fft, axis=1)  # [T, n_fft]
+    n_frames = frames.shape[0]
+    out_len = n_fft + hop * (n_frames - 1)
+    y = np.zeros(out_len, np.float64)
+    wsum = np.zeros(out_len, np.float64)
+    for t in range(n_frames):
+        s = t * hop
+        y[s : s + n_fft] += frames[t] * win
+        wsum[s : s + n_fft] += win**2
+    y = np.where(wsum > 1e-10, y / np.maximum(wsum, 1e-10), y)
+    pad = n_fft // 2
+    y = y[pad:]
+    if length is not None:
+        y = y[:length] if len(y) >= length else np.pad(y, (0, length - len(y)))
+    return y
+
+
+def phase_vocoder(D: np.ndarray, rate: float, hop: int) -> np.ndarray:
+    """Pitch-preserving time stretch of a complex spectrogram.
+
+    Vectorized port of the reference's numba kernel
+    (asr/parts/utils/numba_utils.py:18-88, itself librosa.core.phase_vocoder):
+    linear magnitude interpolation between straddling frames + accumulated
+    wrapped phase advance (here as one cumsum instead of the frame loop).
+    """
+    n_bins = D.shape[0]
+    phi_advance = np.linspace(0, np.pi * hop, n_bins)
+    time_steps = np.arange(0, D.shape[1], rate)
+    Dp = np.pad(D, [(0, 0), (0, 2)], mode="constant")
+    idx = time_steps.astype(np.int64)
+    alpha = np.mod(time_steps, 1.0)[None, :]
+    c0 = Dp[:, idx]
+    c1 = Dp[:, idx + 1]
+    mag = (1.0 - alpha) * np.abs(c0) + alpha * np.abs(c1)
+    dphase = np.angle(c1) - np.angle(c0) - phi_advance[:, None]
+    dphase -= 2.0 * np.pi * np.round(dphase / (2.0 * np.pi))
+    # phase used at output frame t is the accumulation over frames < t,
+    # seeded with the first input frame's phase
+    steps = phi_advance[:, None] + dphase
+    phase = np.angle(D[:, :1]) + np.concatenate(
+        [np.zeros((n_bins, 1)), np.cumsum(steps, axis=1)[:, :-1]], axis=1
+    )
+    return (mag * np.exp(1.0j * phase)).astype(np.complex64)
+
+
 class TimeStretchPerturbation(Perturbation):
-    """Phase-vocoder-free tempo change: approximated by resampling (changes
-    pitch too; the reference's librosa time_stretch preserves pitch — noted
-    as an approximation)."""
+    """Pitch-preserving tempo change via STFT -> phase vocoder -> iSTFT
+    (reference TimeStretchPerturbation, perturb.py:170-276, incl. the
+    n_fft-doubling trick for slow-down rates)."""
 
     def __init__(self, min_speed_rate: float = 0.9, max_speed_rate: float = 1.1,
-                 num_rates: int = 5):
-        self._inner = SpeedPerturbation(
-            min_speed_rate=min_speed_rate, max_speed_rate=max_speed_rate, num_rates=num_rates
-        )
+                 num_rates: int = 5, n_fft: int = 512):
+        self.min_rate = float(min_speed_rate)
+        self.max_rate = float(max_speed_rate)
+        self.num_rates = num_rates
+        if num_rates > 0:
+            self.rates = np.linspace(min_speed_rate, max_speed_rate, num_rates)
+        self.n_fft = int(n_fft)
+
+    def max_augmentation_length(self, length: float) -> float:
+        return length * self.max_rate
 
     def perturb(self, samples, sr, rng):
-        return self._inner.perturb(samples, sr, rng)
+        if self.num_rates > 0:
+            rate = float(self.rates[rng.randrange(self.num_rates)])
+        else:
+            rate = rng.uniform(self.min_rate, self.max_rate)
+        if abs(rate - 1.0) < 1e-6:
+            return samples
+        # slow-down uses 2x n_fft (reference perturb.py:242-256)
+        mult = 1 if rate >= 1.0 else 2
+        n_fft = self.n_fft * mult
+        hop = (self.n_fft // 2) * mult
+        D = _stft_np(np.asarray(samples, np.float32), n_fft, hop)
+        D2 = phase_vocoder(D, rate, hop)
+        return _istft_np(D2, hop, int(round(len(samples) / rate))).astype(np.float32)
 
 
 class GainPerturbation(Perturbation):

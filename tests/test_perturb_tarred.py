@@ -136,3 +136,45 @@ def test_tarred_scatter_partitions(tar_corpus):
         )
         seen.append(len(list(ds)))
     assert seen == [3, 3]
+
+
+def test_time_stretch_preserves_pitch():
+    """Phase-vocoder time stretch: duration scales by 1/rate while the
+    dominant frequency stays put (the old resampling approximation shifted
+    pitch by the rate; reference perturb.py:170 preserves it)."""
+    import numpy as np
+    from conformer_nemo_tpu.audio.perturb import TimeStretchPerturbation
+
+    sr = 16000
+    f0 = 440.0
+    t = np.arange(sr * 2) / sr
+    tone = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+
+    class FixedRng:
+        def __init__(self, r): self.r = r
+        def randrange(self, n): return 0
+        def uniform(self, a, b): return self.r
+
+    for rate in (0.85, 1.25):
+        p = TimeStretchPerturbation(min_speed_rate=rate, max_speed_rate=rate, num_rates=-1)
+        out = p.perturb(tone, sr, FixedRng(rate))
+        assert abs(len(out) - round(len(tone) / rate)) <= 1
+        # dominant frequency of the middle chunk
+        mid = out[len(out)//4 : len(out)//4 + sr//2]
+        spec = np.abs(np.fft.rfft(mid * np.hanning(len(mid))))
+        freq = np.fft.rfftfreq(len(mid), 1.0/sr)[np.argmax(spec)]
+        assert abs(freq - f0) < 15.0, (rate, freq)
+
+
+def test_phase_vocoder_identity_rate():
+    import numpy as np
+    from conformer_nemo_tpu.audio.perturb import TimeStretchPerturbation
+
+    class FixedRng:
+        def randrange(self, n): return 0
+        def uniform(self, a, b): return 1.0
+
+    x = np.random.RandomState(0).randn(8000).astype(np.float32)
+    p = TimeStretchPerturbation(min_speed_rate=1.0, max_speed_rate=1.0, num_rates=-1)
+    out = p.perturb(x, 16000, FixedRng())
+    np.testing.assert_array_equal(out, x)  # rate == 1 is a no-op
