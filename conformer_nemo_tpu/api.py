@@ -291,7 +291,8 @@ def _restore_portable_impl(cls, path: str, dtype):
     config, params, artifacts = load_portable(path)
     m = config["model"]
     if "labels" in m and m.get("labels"):
-        tokenizer = CharTokenizer(m["labels"])
+        tokenizer = CharTokenizer(
+            m["labels"], parser=(m.get("train_ds") or {}).get("parser", "base"))
     elif "tokenizer" in artifacts:
         from conformer_nemo_tpu.data.tokenizers import HFTokenizer
 
@@ -311,7 +312,9 @@ def _tokenizer_from_model_cfg(m: dict, tokenizer_dir: Optional[str] = None):
     """Tokenizer from a reference-shaped model config section: `labels`
     (char) or `tokenizer` (bpe/wpe/agg)."""
     if "labels" in m and m.get("labels"):
-        return CharTokenizer(m["labels"])
+        # dataset-level `parser` key (reference AudioToCharDataset parser arg)
+        return CharTokenizer(
+            m["labels"], parser=(m.get("train_ds") or {}).get("parser", "base"))
     tok_cfg = dict(m.get("tokenizer") or {})
     if tokenizer_dir:
         tok_cfg["dir"] = tokenizer_dir

@@ -34,7 +34,15 @@ class TokenizerSpec(Protocol):
 
 
 class CharTokenizer:
-    """Char-level tokenizer with the reference CharParser's normalization rules."""
+    """Char-level tokenizer with the reference CharParser's normalization
+    rules. `parser="en"` additionally applies the ENCharParser cleaning
+    pipeline (parsers.py:128: ascii-fold, number/abbreviation expansion,
+    punctuation wording — see data/cleaners.py). Unlike the reference, the
+    default stays "base": AudioToCharDataset defaults parser to \'en\' even
+    for non-English recipes (e.g. the fork\'s Vietnamese
+    conformer_ctc_char.yaml), where ascii-folding would strip the diacritics
+    its own label set defines — set parser: en explicitly for English data.
+    """
 
     def __init__(
         self,
@@ -44,6 +52,7 @@ class CharTokenizer:
         blank_id: int = -1,
         do_lowercase: bool = True,
         do_normalize: bool = True,
+        parser: str = "base",
     ):
         self.labels = list(labels)
         self._labels_map = {label: i for i, label in enumerate(self.labels)}
@@ -52,12 +61,23 @@ class CharTokenizer:
         self._blank_id = blank_id
         self._do_lowercase = do_lowercase
         self._do_normalize = do_normalize
+        if parser not in ("base", "en"):
+            raise ValueError(f"unknown parser {parser!r} (base | en)")
+        self._en_table = None
+        if parser == "en":
+            from conformer_nemo_tpu.data.cleaners import make_table
+
+            self._en_table = make_table(self.labels)
 
     @property
     def vocab_size(self) -> int:
         return len(self.labels)
 
     def text_to_ids(self, text: str) -> Optional[List[int]]:
+        if self._en_table is not None:
+            from conformer_nemo_tpu.data.cleaners import clean_text
+
+            text = clean_text(text, self._en_table)
         if self._do_normalize:
             text = text.strip()
             if self._do_lowercase:

@@ -179,3 +179,33 @@ def test_native_edit_distance_matches_python():
     assert wer_mod.edit_distance([], ["a", "b"]) == 2
     # the native library actually loaded on this box (g++ is baked in)
     assert wer_mod._load() is not None
+
+
+def test_en_parser_cleaning():
+    """ENCharParser pipeline (reference parsers.py:128 + cleaners.py:145):
+    numbers, ordinals, times, currency, abbreviations, punctuation."""
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+    from conformer_nemo_tpu.data.cleaners import number_to_words
+
+    labels = [" "] + [chr(c) for c in range(ord("a"), ord("z") + 1)] + ["'"]
+    tok = CharTokenizer(labels, parser="en")
+
+    def roundtrip(text):
+        return tok.ids_to_text(tok.text_to_ids(text))
+
+    assert number_to_words(5) == "five"
+    assert number_to_words(21) == "twenty-one"
+    assert number_to_words(1234) == "one thousand, two hundred and thirty-four"
+    assert number_to_words("21st") == "twenty-first"
+    assert number_to_words("3.5") == "three point five"
+
+    assert roundtrip("I have 2 cats") == "i have two cats"
+    assert roundtrip("Mr. Smith & Dr. Jones") == "mister smith and doctor jones"
+    assert roundtrip("100% sure") == "one hundred percent sure"
+    assert roundtrip("$5 bill") == "five dollars bill"
+    assert roundtrip("the 3rd time") == "the third time"
+    assert roundtrip("at 5:30pm") == "at five thirty pm"
+    assert roundtrip("café résumé") == "cafe resume"
+    # base parser keeps diacritic labels intact (Vietnamese recipe)
+    vtok = CharTokenizer([" ", "a", "à"])
+    assert vtok.ids_to_text(vtok.text_to_ids("à a")) == "à a"
