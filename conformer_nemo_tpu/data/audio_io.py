@@ -57,6 +57,82 @@ def _parse_wav(w) -> tuple[np.ndarray, int]:
     return data, sr
 
 
+_FLAC_LIB = None
+_FLAC_FAILED = False
+
+
+def _flac_lib():
+    """Build/load the native FLAC decoder (native/flacdec/flac_decoder.cpp,
+    ctypes C ABI — same on-demand g++ pattern as the edit-distance lib)."""
+    global _FLAC_LIB, _FLAC_FAILED
+    if _FLAC_LIB is not None or _FLAC_FAILED:
+        return _FLAC_LIB
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(root, "native", "flacdec", "flac_decoder.cpp")
+    build = os.path.join(root, "native", "build")
+    so = os.path.join(build, "libflac_decoder.so")
+    try:
+        os.makedirs(build, exist_ok=True)
+        if not (os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", so],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.flac_decode.restype = ctypes.c_int
+        lib.flac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        _FLAC_LIB = lib
+    except Exception:
+        _FLAC_FAILED = True
+    return _FLAC_LIB
+
+
+def read_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an in-memory FLAC stream -> (float32 [T] or [T, C], sr)."""
+    import ctypes
+
+    lib = _flac_lib()
+    if lib is None:
+        raise RuntimeError(
+            "FLAC decoding requires the native decoder "
+            "(native/flacdec/flac_decoder.cpp) and no C++ compiler is "
+            "available to build it")
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out = ctypes.POINTER(ctypes.c_int32)()
+    n = ctypes.c_int64()
+    ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    bps = ctypes.c_int()
+    rc = lib.flac_decode(buf, len(data), ctypes.byref(out), ctypes.byref(n),
+                         ctypes.byref(ch), ctypes.byref(sr), ctypes.byref(bps))
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed (code {rc})")
+    try:
+        total = n.value * ch.value
+        arr = np.ctypeslib.as_array(out, shape=(total,)).copy()
+    finally:
+        lib.flac_free(out)
+    scale = float(1 << (bps.value - 1))
+    audio = arr.astype(np.float32) / scale
+    if ch.value > 1:
+        audio = audio.reshape(-1, ch.value)
+    return audio, sr.value
+
+
+def read_flac(path: str) -> tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        return read_flac_bytes(f.read())
+
+
 def resample_poly(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if orig_sr == target_sr:
         return x
@@ -74,7 +150,10 @@ def load_audio(
     mono: bool = True,
 ) -> np.ndarray:
     """Decode + mono-mix + resample + crop -> float32 [T] at target_sr."""
-    data, sr = read_wav(path)
+    if path.lower().endswith(".flac"):
+        data, sr = read_flac(path)
+    else:
+        data, sr = read_wav(path)
     if mono and data.ndim > 1:
         data = data.mean(axis=1)
     if offset > 0 or duration > 0:
