@@ -189,7 +189,8 @@ class RelPosMultiHeadAttention(nn.Module):
     cfg: ConformerEncoderConfig
 
     @nn.compact
-    def __call__(self, x, pos_emb, att_mask, *, deterministic: bool, lengths=None):
+    def __call__(self, x, pos_emb, att_mask, *, deterministic: bool, lengths=None,
+                 shared_biases=None):
         cfg = self.cfg
         h, dk = cfg.n_heads, cfg.d_head
         d_model = cfg.d_model
@@ -204,8 +205,13 @@ class RelPosMultiHeadAttention(nn.Module):
             "linear_pos_kernel", nn.initializers.lecun_normal(), (d_model, h * dk), jnp.float32
         )
 
-        pos_bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
-        pos_bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
+        if shared_biases is not None:
+            # untie_biases=False: one (u, v) pair shared by every layer
+            # (reference conformer_encoder.py:165-173)
+            pos_bias_u, pos_bias_v = shared_biases
+        else:
+            pos_bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
+            pos_bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
 
         q = q.astype(jnp.float32)
         qu = (q + pos_bias_u).astype(cfg.dtype)
@@ -407,7 +413,7 @@ class ConformerLayer(nn.Module):
     @nn.compact
     def __call__(
         self, x, pos_emb, att_mask, pad_mask, deterministic: bool = True,
-        train: bool = False, lengths=None,
+        train: bool = False, lengths=None, shared_biases=None,
     ):
         cfg = self.cfg
         fc = 0.5
@@ -425,7 +431,8 @@ class ConformerLayer(nn.Module):
         y = ln("norm_self_att")(residual)
         if cfg.self_attention_model == "rel_pos":
             y = RelPosMultiHeadAttention(cfg, name="self_attn")(
-                y, pos_emb, att_mask, deterministic=deterministic, lengths=lengths
+                y, pos_emb, att_mask, deterministic=deterministic, lengths=lengths,
+                shared_biases=shared_biases,
             )
         else:
             y = AbsPosMultiHeadAttention(cfg, name="self_attn")(
@@ -592,13 +599,25 @@ class ConformerEncoder(nn.Module):
 
         pad_mask, att_mask = make_masks(cfg, t, out_lengths)
 
+        shared_biases = None
+        if not cfg.untie_biases and cfg.self_attention_model == "rel_pos":
+            # one (u, v) bias pair shared across layers
+            # (reference conformer_encoder.py:165-173)
+            shared_biases = (
+                self.param("pos_bias_u", nn.initializers.zeros,
+                           (cfg.n_heads, cfg.d_head), jnp.float32),
+                self.param("pos_bias_v", nn.initializers.zeros,
+                           (cfg.n_heads, cfg.d_head), jnp.float32),
+            )
+
         layer_cls = ConformerLayer
         if cfg.remat:
             # bools are static (arg 0 is the module instance in lifted remat)
             layer_cls = nn.remat(ConformerLayer, static_argnums=(5, 6), prevent_cse=False)
         for i in range(cfg.n_layers):
             x = layer_cls(cfg, name=f"layers_{i}")(
-                x, pos_emb, att_mask, pad_mask, deterministic, train, out_lengths
+                x, pos_emb, att_mask, pad_mask, deterministic, train, out_lengths,
+                shared_biases,
             )
 
         if cfg.feat_out > 0 and cfg.feat_out != cfg.d_model:

@@ -188,3 +188,31 @@ def test_relpos_decomposition_matches_rel_shift():
     mod_ref = RelPosMultiHeadAttention(cfg_ref)
     out_ref = mod_ref.apply(variables, x, pos_emb, att_mask, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_dec), np.asarray(out_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_untie_biases_false_shares_one_pair():
+    """untie_biases=False: one pos_bias_u/v pair at encoder level shared by
+    all layers (reference conformer_encoder.py:165-173)."""
+    import jax
+    import jax.numpy as jnp
+    from conformer_nemo_tpu.models.conformer import ConformerEncoder, ConformerEncoderConfig
+
+    cfg = ConformerEncoderConfig(
+        feat_in=16, n_layers=2, d_model=32, n_heads=2,
+        subsampling_conv_channels=32, untie_biases=False, dtype=jnp.float32)
+    enc = ConformerEncoder(cfg)
+    feats = jnp.zeros((1, 16, 64), jnp.float32)
+    lens = jnp.array([64], jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), feats, lens)
+    params = variables["params"]
+    assert "pos_bias_u" in params and "pos_bias_v" in params
+    assert "pos_bias_u" not in params["layers_0"]["self_attn"]
+    out, olens = enc.apply(variables, feats, lens)
+    assert out.shape[0] == 1
+
+    cfg2 = ConformerEncoderConfig(
+        feat_in=16, n_layers=2, d_model=32, n_heads=2,
+        subsampling_conv_channels=32, untie_biases=True, dtype=jnp.float32)
+    p2 = ConformerEncoder(cfg2).init(jax.random.PRNGKey(0), feats, lens)["params"]
+    assert "pos_bias_u" in p2["layers_0"]["self_attn"]
+    assert "pos_bias_u" not in p2
