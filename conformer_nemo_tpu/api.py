@@ -134,6 +134,7 @@ class _BaseASRModel:
             samples, self.tokenizer,
             sample_rate=ds_cfg.get("sample_rate", 16000),
             n_buckets=ds_cfg.get("num_buckets", 8),
+            trim_silence=bool(ds_cfg.get("trim_silence", False)),
         )
         return BucketedLoader(
             ds, ds_cfg.get("batch_size", 16),

@@ -133,6 +133,31 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
         return read_flac_bytes(f.read())
 
 
+def trim_silence(x: np.ndarray, top_db: float = 60.0,
+                 frame_length: int = 2048, hop_length: int = 512) -> np.ndarray:
+    """Energy-based lead/tail silence trim (librosa.effects.trim semantics:
+    drop frames whose RMS is more than top_db below the max-RMS frame), the
+    reference AudioSegment trim path (segment.py:60 / perturb-time
+    `trim_silence` dataset knob)."""
+    if len(x) == 0:
+        return x
+    n_frames = max(1, 1 + (len(x) - frame_length) // hop_length) if len(x) >= frame_length else 1
+    rms = np.empty(n_frames, np.float64)
+    for i in range(n_frames):
+        seg = x[i * hop_length : i * hop_length + frame_length]
+        rms[i] = np.sqrt(np.mean(np.square(seg, dtype=np.float64))) if len(seg) else 0.0
+    ref = rms.max()
+    if ref <= 0:
+        return x
+    keep = rms > ref * (10.0 ** (-top_db / 20.0))
+    if not keep.any():
+        return x[:0]
+    first, last = int(np.argmax(keep)), int(len(keep) - 1 - np.argmax(keep[::-1]))
+    start = first * hop_length
+    end = min(len(x), last * hop_length + frame_length)
+    return x[start:end]
+
+
 def resample_poly(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if orig_sr == target_sr:
         return x
@@ -148,8 +173,10 @@ def load_audio(
     offset: float = 0.0,
     duration: float = 0.0,
     mono: bool = True,
+    trim: bool = False,
 ) -> np.ndarray:
-    """Decode + mono-mix + resample + crop -> float32 [T] at target_sr."""
+    """Decode + mono-mix + resample + crop (+ optional silence trim) ->
+    float32 [T] at target_sr."""
     if path.lower().endswith(".flac"):
         data, sr = read_flac(path)
     else:
@@ -161,6 +188,8 @@ def load_audio(
         end = start + int(duration * sr) if duration > 0 else len(data)
         data = data[start:end]
     data = resample_poly(data, sr, target_sr)
+    if trim:
+        data = trim_silence(data)
     return np.ascontiguousarray(data, dtype=np.float32)
 
 

@@ -68,10 +68,12 @@ class BucketedAudioTextDataset:
         n_buckets: int = 8,
         token_cap_per_sec: float = 8.0,
         min_token_cap: int = 16,
+        trim_silence: bool = False,
     ):
         self.samples = samples
         self.tokenizer = tokenizer
         self.sample_rate = sample_rate
+        self.trim_silence = trim_silence
         self.boundaries = make_bucket_boundaries(
             [s.duration for s in samples], n_buckets, sample_rate
         )
@@ -99,7 +101,8 @@ class BucketedAudioTextDataset:
     def load_item(self, idx: int):
         s = self.samples[idx]
         audio = load_audio(
-            s.audio_file, target_sr=self.sample_rate, offset=s.offset, duration=s.duration
+            s.audio_file, target_sr=self.sample_rate, offset=s.offset,
+            duration=s.duration, trim=self.trim_silence,
         )
         tokens = self.encode_text(s)
         return audio, tokens, s.text

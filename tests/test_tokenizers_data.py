@@ -209,3 +209,24 @@ def test_en_parser_cleaning():
     # base parser keeps diacritic labels intact (Vietnamese recipe)
     vtok = CharTokenizer([" ", "a", "à"])
     assert vtok.ids_to_text(vtok.text_to_ids("à a")) == "à a"
+
+
+def test_trim_silence():
+    """librosa.effects.trim semantics: drop lead/tail frames > top_db below
+    the loudest frame (segment.py trim / dataset trim_silence knob)."""
+    import numpy as np
+    from conformer_nemo_tpu.data.audio_io import trim_silence
+
+    sr = 16000
+    sig = np.concatenate([
+        np.zeros(sr // 2, np.float32),
+        0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32),
+        np.zeros(sr // 2, np.float32),
+    ])
+    out = trim_silence(sig)
+    assert len(out) < len(sig)
+    # the tone survives; trimmed region is within a frame of the tone bounds
+    assert abs(len(out) - sr) < 4096
+    assert np.abs(out).max() > 0.4
+    # all-silence input stays put (no max frame above threshold)
+    assert len(trim_silence(np.zeros(1000, np.float32))) == 1000
