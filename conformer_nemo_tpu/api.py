@@ -679,11 +679,16 @@ class ConformerTransducer(_BaseASRModel):
         )
 
     def _eval_wer(self, loader):
-        from conformer_nemo_tpu.train.rnnt_trainer import evaluate_rnnt_wer, make_rnnt_eval_step
+        from conformer_nemo_tpu.train.rnnt_trainer import (
+            evaluate_rnnt_wer, make_rnnt_eval_step, make_rnnt_loss_eval_step)
 
+        if getattr(self, "_loss_eval_step", None) is None and self.raw_cfg["model"].get(
+                "compute_eval_loss", False):
+            self._loss_eval_step = make_rnnt_loss_eval_step(self.cfg)
         if self._eval_step is None:
             self._eval_step = make_rnnt_eval_step(self.cfg, max_symbols=self._max_symbols)
-        return evaluate_rnnt_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step)
+        return evaluate_rnnt_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step,
+                                 loss_step=getattr(self, "_loss_eval_step", None))
 
     def transcribe_buffered(self, audio_paths: Sequence[str],
                             frame_len: float = 1.6,

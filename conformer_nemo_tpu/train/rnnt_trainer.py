@@ -186,17 +186,47 @@ def make_rnnt_eval_step(cfg: RNNTTrainConfig, max_symbols: int = 10) -> Callable
     return eval_fn
 
 
-def evaluate_rnnt_wer(cfg: RNNTTrainConfig, state, loader, tokenizer, eval_step=None, use_cer=False):
+def make_rnnt_loss_eval_step(cfg: RNNTTrainConfig) -> Callable:
+    """Jitted deterministic transducer loss for validation — built only when
+    `compute_eval_loss` is set (reference rnnt_models.py compute_eval_loss
+    flag / conformer_transducer_bpe.yaml:27: off by default because the
+    [B,T,U,V] joint on long eval utterances is memory-hungry)."""
+    model = RNNTModel(cfg.model)
+
+    @jax.jit
+    def loss_fn(state: TrainState, batch):
+        feats, feat_lens = log_mel_spectrogram(
+            cfg.preprocessor, batch["audio"], batch["audio_lens"], training=False
+        )
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        nll = model.apply(
+            variables, feats, feat_lens, batch["tokens"], batch["token_lens"],
+            train=False,
+        )
+        valid = (batch["audio_lens"] > 0).astype(jnp.float32)
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    return loss_fn
+
+
+def evaluate_rnnt_wer(cfg: RNNTTrainConfig, state, loader, tokenizer, eval_step=None,
+                      use_cer=False, loss_step=None):
     from conformer_nemo_tpu.decode.wer import wer_num_denom
 
     if eval_step is None:
         eval_step = make_rnnt_eval_step(cfg)
     tot_e, tot_w = 0, 0
+    tot_loss, n_batches = 0.0, 0
     for batch in loader:
         bd = {
             "audio": batch.audio, "audio_lens": batch.audio_lens,
             "tokens": batch.tokens, "token_lens": batch.token_lens,
         }
+        if loss_step is not None:
+            tot_loss += float(loss_step(state, bd))
+            n_batches += 1
         tokens, lens, _ = eval_step(state, bd)
         n_valid = int((batch.audio_lens > 0).sum())
         import numpy as np
@@ -209,4 +239,7 @@ def evaluate_rnnt_wer(cfg: RNNTTrainConfig, state, loader, tokenizer, eval_step=
         e, w = wer_num_denom(hyps, refs, use_cer)
         tot_e += e
         tot_w += w
-    return {"wer": tot_e / max(tot_w, 1), "edits": tot_e, "words": tot_w}
+    out = {"wer": tot_e / max(tot_w, 1), "edits": tot_e, "words": tot_w}
+    if n_batches:
+        out["loss"] = tot_loss / n_batches
+    return out

@@ -75,3 +75,39 @@ def test_rnnt_eval_step_runs():
     tokens, lens, enc_lens = ev(state, batch(seed=1))
     assert tokens.shape[0] == 2
     assert (np.asarray(lens) >= 0).all()
+
+
+def test_compute_eval_loss_flag():
+    """compute_eval_loss=True adds a deterministic transducer val loss
+    (reference conformer_transducer_bpe.yaml:27 / rnnt_models.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from conformer_nemo_tpu.models.conformer import ConformerEncoderConfig
+    from conformer_nemo_tpu.models.rnnt import (
+        RNNTDecoderConfig, RNNTJointConfig, RNNTModelConfig)
+    from conformer_nemo_tpu.train.rnnt_trainer import (
+        RNNTTrainConfig, init_rnnt_state, make_rnnt_loss_eval_step)
+    from conformer_nemo_tpu.train.optim import make_optimizer
+    from conformer_nemo_tpu.train.lr_schedule import make_lr_schedule
+
+    cfg = RNNTTrainConfig(model=RNNTModelConfig(
+        encoder=ConformerEncoderConfig(
+            feat_in=80, n_layers=1, d_model=32, n_heads=2,
+            subsampling_conv_channels=32, dtype=jnp.float32),
+        decoder=RNNTDecoderConfig(vocab_size=5, pred_hidden=16, dtype=jnp.float32),
+        joint=RNNTJointConfig(joint_hidden=16, fused_batch_size=2, dtype=jnp.float32),
+    ))
+    sched = make_lr_schedule({"name": "NoamAnnealing", "d_model": 32, "warmup_steps": 10}, 1.0)
+    state = init_rnnt_state(cfg, make_optimizer("adamw", sched), jax.random.PRNGKey(0))
+    loss_step = make_rnnt_loss_eval_step(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": jnp.asarray(rng.randn(2, 8000).astype(np.float32) * 0.1),
+        "audio_lens": jnp.asarray([8000, 6000], np.int32),
+        "tokens": jnp.asarray(rng.randint(0, 5, (2, 6)).astype(np.int32)),
+        "token_lens": jnp.asarray([6, 4], np.int32),
+    }
+    l1 = float(loss_step(state, batch))
+    l2 = float(loss_step(state, batch))
+    assert np.isfinite(l1) and l1 > 0 and l1 == l2  # deterministic
