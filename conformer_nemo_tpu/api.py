@@ -125,6 +125,31 @@ class _BaseASRModel:
     #   _model_feat_dim() -> features count
 
     def _loader(self, manifest, ds_cfg, shuffle, seed=0):
+        if ds_cfg.get("is_tarred"):
+            # tarred/webdataset path (reference get_tarred_dataset,
+            # audio_to_text_dataset.py:135: brace-expanded shards partitioned
+            # by rank via tarred_shard_strategy, shuffle_n ring buffer)
+            from conformer_nemo_tpu.data.tarred import (
+                TarredAudioTextDataset, TarredBatchIterator)
+
+            sr = ds_cfg.get("sample_rate", 16000)
+            max_dur = float(ds_cfg.get("max_duration") or 20.0)
+            ds = TarredAudioTextDataset(
+                ds_cfg["tarred_audio_filepaths"], manifest, self.tokenizer,
+                sample_rate=sr,
+                shuffle_n=int(ds_cfg.get("shuffle_n", 0)) if shuffle else 0,
+                min_duration=ds_cfg.get("min_duration"),
+                max_duration=ds_cfg.get("max_duration"),
+                shard_strategy=ds_cfg.get("tarred_shard_strategy", "scatter"),
+                world_size=jax.process_count(),
+                global_rank=jax.process_index(),
+                seed=seed,
+            )
+            return TarredBatchIterator(
+                ds, ds_cfg.get("batch_size", 16),
+                max_samples_len=int(max_dur * sr),
+                max_tokens=max(16, int(max_dur * 8)),
+            )
         samples = read_manifest(
             manifest,
             min_duration=ds_cfg.get("min_duration"),
@@ -196,6 +221,24 @@ class _BaseASRModel:
         from conformer_nemo_tpu.data.prefetch import device_prefetch
         from conformer_nemo_tpu.parallel.mesh import batch_sharding
 
+        # mid-epoch validation cadence: explicit arg, or trainer
+        # val_check_interval when given in steps (int; the reference's
+        # fractional-epoch form maps to per-epoch validation here)
+        vci = tr.get("val_check_interval")
+        if val_every_n_steps is None and isinstance(vci, int) and vci > 0:
+            val_every_n_steps = vci
+
+        def _validate(step):
+            val = {}
+            if val_loader is not None:
+                val = self._eval_wer(val_loader)
+                if exp_manager:
+                    exp_manager.logger.log(step, val_wer=val["wer"],
+                                           **({"val_loss": val["loss"]} if "loss" in val else {}))
+            if exp_manager:
+                exp_manager.save(self.state, step, {"val_wer": val.get("wer")})
+            return val
+
         step = int(self.state.step)
         t0 = time.time()
         metrics = {}
@@ -212,6 +255,8 @@ class _BaseASRModel:
                     if exp_manager:
                         exp_manager.logger.log(step, train_loss=loss,
                                                grad_norm=float(metrics["grad_norm"]))
+                if val_every_n_steps and step % val_every_n_steps == 0:
+                    _validate(step)
                 if max_steps and step >= max_steps:
                     break
                 if max_time_s and time.time() - t0 > max_time_s:
@@ -219,13 +264,7 @@ class _BaseASRModel:
                         exp_manager.save(self.state, step, {})
                     return {"steps": step, "time_s": time.time() - t0, "stopped": "max_time"}
             # end of epoch: validate + checkpoint
-            val = {}
-            if val_loader is not None:
-                val = self._eval_wer(val_loader)
-                if exp_manager:
-                    exp_manager.logger.log(step, val_wer=val["wer"])
-            if exp_manager:
-                exp_manager.save(self.state, step, {"val_wer": val.get("wer")})
+            _validate(step)
             if max_steps and step >= max_steps:
                 break
         if exp_manager:
@@ -560,7 +599,17 @@ class ConformerTransducer(_BaseASRModel):
         prednet = dec_cfg.get("prednet", {})
         joint_cfg = m.get("joint", {})
         jointnet = joint_cfg.get("jointnet", {})
-        loss_kwargs = (m.get("loss") or {}).get("rnnt_kwargs") or {}
+        loss_cfg = m.get("loss") or {}
+        # reference key is warprnnt_numba_kwargs (conformer_transducer_bpe.yaml:190);
+        # rnnt_kwargs kept as an alias
+        loss_kwargs = (loss_cfg.get("warprnnt_numba_kwargs")
+                       or loss_cfg.get("rnnt_kwargs") or {})
+        loss_name = loss_cfg.get("loss_name", "default")
+        if loss_name not in ("default", "warprnnt_numba"):
+            raise ValueError(
+                f"unsupported transducer loss_name {loss_name!r} (the single "
+                "TPU lattice implementation covers the reference's default/"
+                "warprnnt_numba resolver entries; losses/rnnt.py:76)")
         vn = m.get("variational_noise") or {}
         self.cfg = RNNTTrainConfig(
             preprocessor=build_preprocessor_config(m.get("preprocessor", {})),

@@ -63,6 +63,9 @@ def build_exp_manager(raw_cfg):
             monitor=cb.get("monitor", "val_wer"),
             mode=cb.get("mode", "min"),
             save_top_k=int(cb.get("save_top_k", 5)),
-            always_save_portable=bool(cb.get("always_save_portable", True)),
+            always_save_portable=bool(cb.get("always_save_portable",
+                                             cb.get("always_save_nemo", True))),
+            create_wandb_logger=bool(em.get("create_wandb_logger", False)),
+            wandb_logger_kwargs=em.get("wandb_logger_kwargs"),
         )
     )

@@ -178,3 +178,48 @@ def test_phase_vocoder_identity_rate():
     p = TimeStretchPerturbation(min_speed_rate=1.0, max_speed_rate=1.0, num_rates=-1)
     out = p.perturb(x, 16000, FixedRng())
     np.testing.assert_array_equal(out, x)  # rate == 1 is a no-op
+
+
+def test_fit_with_tarred_dataset(tmp_path):
+    """is_tarred/tarred_audio_filepaths wired through ConformerCTC.fit
+    (reference get_tarred_dataset, audio_to_text_dataset.py:135)."""
+    import json
+    import tarfile
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conformer_nemo_tpu.api import ConformerCTC
+    from conformer_nemo_tpu.data.audio_io import write_wav
+
+    rng = np.random.RandomState(0)
+    man = tmp_path / "train.json"
+    tar = tmp_path / "audio_0.tar"
+    wavs = []
+    with open(man, "w") as f:
+        for i, text in enumerate(["ab", "ba", "aab", "bba"]):
+            p = tmp_path / f"u{i}.wav"
+            write_wav(str(p), (0.1 * rng.randn(8000)).astype(np.float32), 16000)
+            wavs.append(p)
+            f.write(json.dumps({"audio_filepath": f"u{i}.wav", "duration": 0.5,
+                                "text": text}) + "\n")
+    with tarfile.open(tar, "w") as tf:
+        for p in wavs:
+            tf.add(str(p), arcname=p.name)
+
+    model = ConformerCTC(
+        {"model": {
+            "labels": list("ab "),
+            "preprocessor": {"features": 32},
+            "encoder": {"feat_in": 32, "n_layers": 1, "d_model": 32, "n_heads": 2,
+                        "subsampling_conv_channels": 32},
+            "decoder": {},
+            "train_ds": {"manifest_filepath": str(man), "is_tarred": True,
+                         "tarred_audio_filepaths": str(tar), "batch_size": 2,
+                         "shuffle_n": 2, "max_duration": 1.0},
+        },
+         "trainer": {"max_steps": 2}},
+        __import__("conformer_nemo_tpu.data.tokenizers", fromlist=["x"]).CharTokenizer(list("ab ")),
+        dtype=jnp.float32)
+    out = model.fit()
+    assert out["steps"] >= 2
