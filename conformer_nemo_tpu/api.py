@@ -739,6 +739,71 @@ class ConformerTransducer(_BaseASRModel):
         return evaluate_rnnt_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step,
                                  loss_step=getattr(self, "_loss_eval_step", None))
 
+    def _greedy_with_timestamps(self, audio, lens):
+        """Jitted greedy decode that also returns per-token emission frames
+        (reference greedy Hypothesis.timestep, rnnt_greedy_decoding.py)."""
+        if getattr(self, "_hyp_step", None) is None or self._hyp_state_id != id(self.state):
+            from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+            from conformer_nemo_tpu.decode.rnnt_greedy import rnnt_greedy_decode_batched
+            from conformer_nemo_tpu.models.rnnt import RNNTModel
+
+            model = RNNTModel(self.cfg.model)
+            variables = {"params": self.state.params}
+            if self.state.batch_stats:
+                variables["batch_stats"] = self.state.batch_stats
+            pre = self.cfg.preprocessor
+            max_symbols = self._max_symbols
+
+            @jax.jit
+            def _step(audio, lens):
+                feats, fl = log_mel_spectrogram(pre, audio, lens, training=False)
+                enc, enc_lens = model.apply(variables, feats, fl, train=False,
+                                            method=RNNTModel.encode)
+                return rnnt_greedy_decode_batched(
+                    model, variables, enc, enc_lens, max_symbols=max_symbols,
+                    return_timestamps=True)
+
+            self._hyp_step = _step
+            self._hyp_state_id = id(self.state)
+        toks, tlens, steps = self._hyp_step(
+            jnp.asarray(audio, jnp.float32), jnp.asarray(lens, jnp.int32))
+        return np.asarray(toks), np.asarray(tlens), np.asarray(steps)
+
+    def transcribe_with_timestamps(self, audio_paths: Sequence[str],
+                                   batch_size: int = 16):
+        """Per-file word timestamps from transducer greedy emission frames
+        (reference RNNT timestamp path, decoder_timestamps_utils.py)."""
+        from conformer_nemo_tpu.decode.timestamps import (
+            FrameAlignedToken, words_from_alignments)
+
+        sr = self.raw_cfg["model"].get("sample_rate", 16000)
+        stride = (self.cfg.preprocessor.window_stride
+                  * self.cfg.model.encoder.subsampling_factor)
+        wavs = [load_audio(p, target_sr=sr) for p in audio_paths]
+        results = []
+        for i in range(0, len(wavs), batch_size):
+            chunk = wavs[i : i + batch_size]
+            t_cap = int(math.ceil(max(len(w) for w in chunk) / 1600.0)) * 1600
+            audio = np.zeros((len(chunk), t_cap), np.float32)
+            lens = np.zeros((len(chunk),), np.int32)
+            for row, w in enumerate(chunk):
+                audio[row, : len(w)] = w
+                lens[row] = len(w)
+            toks, tlens, steps = self._greedy_with_timestamps(audio, lens)
+            for row in range(len(chunk)):
+                n = int(tlens[row])
+                units = [
+                    FrameAlignedToken(int(toks[row, j]), int(steps[row, j]),
+                                      int(steps[row, j]) + 1, 1.0)
+                    for j in range(n)
+                ]
+                words = words_from_alignments(units, self.tokenizer, stride)
+                results.append({
+                    "text": self.tokenizer.ids_to_text(toks[row, :n].tolist()),
+                    "words": words,
+                })
+        return results
+
     def transcribe_buffered(self, audio_paths: Sequence[str],
                             frame_len: float = 1.6,
                             total_buffer: float = 4.0,
@@ -852,16 +917,21 @@ class ConformerTransducer(_BaseASRModel):
                 "tokens": np.zeros((audio.shape[0], 8), np.int32),
                 "token_lens": np.zeros((audio.shape[0],), np.int32),
             }
+            if mode == "hypotheses":
+                toks, tlens, steps = self._greedy_with_timestamps(audio, lens)
+                return [
+                    TranscriptionHypothesis(
+                        score=0.0,
+                        y_sequence=toks[i, : int(tlens[i])].tolist(),
+                        text=self.tokenizer.ids_to_text(
+                            toks[i, : int(tlens[i])].tolist()),
+                        timestep=steps[i, : int(tlens[i])].tolist(),
+                    )
+                    for i in range(audio.shape[0])
+                ]
             tokens, tlens, _ = self._eval_step(self.state, bd)
             toks = np.asarray(tokens)
             ids = [toks[i, : int(tlens[i])].tolist() for i in range(audio.shape[0])]
-            if mode == "hypotheses":
-                return [
-                    TranscriptionHypothesis(
-                        score=0.0, y_sequence=seq,
-                        text=self.tokenizer.ids_to_text(seq))
-                    for seq in ids
-                ]
             return [self.tokenizer.ids_to_text(seq) for seq in ids]
         # beam family: encode then the RNNTDecoding facade
         from conformer_nemo_tpu.audio.features import log_mel_spectrogram

@@ -29,8 +29,12 @@ def rnnt_greedy_decode_batched(
     *,
     max_symbols: int = 30,
     max_tokens: int | None = None,
+    return_timestamps: bool = False,
 ):
-    """Returns (tokens [B, cap] int32 padded with blank, token_lens [B])."""
+    """Returns (tokens [B, cap] int32 padded with blank, token_lens [B]);
+    with return_timestamps also the emission frame index per token
+    [B, cap] int32 (the reference greedy decoders record `timestep` per
+    emitted label, rnnt_greedy_decoding.py Hypothesis accumulation)."""
     b, t_max, _ = enc.shape
     blank = model.cfg.blank_id
     cap = max_tokens if max_tokens is not None else 2 * t_max
@@ -44,10 +48,11 @@ def rnnt_greedy_decode_batched(
     state0 = model.apply(variables, b, method=type(model).decoder_zero_state)
     last_label0 = jnp.full((b,), blank, jnp.int32)
     tokens0 = jnp.full((b, cap), blank, jnp.int32)
+    steps0 = jnp.zeros((b, cap), jnp.int32)
     lens0 = jnp.zeros((b,), jnp.int32)
 
     def time_step(t, carry):
-        last_label, state, tokens, lens = carry
+        last_label, state, tokens, steps, lens = carry
         f = jax.lax.dynamic_slice_in_dim(enc, t, 1, axis=1)[:, 0]  # [B, D]
         exhausted = t >= enc_lens  # [B]
 
@@ -56,7 +61,7 @@ def rnnt_greedy_decode_batched(
             return (sym < max_symbols) & jnp.any(~blank_mask)
 
         def body(inner):
-            sym, blank_mask, last_label, state, tokens, lens = inner
+            sym, blank_mask, last_label, state, tokens, steps, lens = inner
             g, new_state = pred_step(last_label, state)
             logits = joint_step(f, g)  # [B, V+1]
             k = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -66,21 +71,24 @@ def rnnt_greedy_decode_batched(
             write_pos = jnp.clip(lens, 0, cap - 1)
             onehot = (jnp.arange(cap)[None, :] == write_pos[:, None]) & advance[:, None] & (lens < cap)[:, None]
             tokens = jnp.where(onehot, k[:, None], tokens)
+            steps = jnp.where(onehot, t, steps)
             lens = jnp.minimum(lens + advance.astype(jnp.int32), cap)
             last_label = jnp.where(advance, k, last_label)
             state = jax.tree.map(
                 lambda new, old: jnp.where(advance[None, :, None], new, old), new_state, state
             )
             blank_mask = blank_mask | is_blank
-            return (sym + 1, blank_mask, last_label, state, tokens, lens)
+            return (sym + 1, blank_mask, last_label, state, tokens, steps, lens)
 
-        init = (jnp.int32(0), exhausted, last_label, state, tokens, lens)
-        _, _, last_label, state, tokens, lens = jax.lax.while_loop(cond, body, init)
-        return (last_label, state, tokens, lens)
+        init = (jnp.int32(0), exhausted, last_label, state, tokens, steps, lens)
+        _, _, last_label, state, tokens, steps, lens = jax.lax.while_loop(cond, body, init)
+        return (last_label, state, tokens, steps, lens)
 
-    _, _, tokens, lens = jax.lax.fori_loop(
-        0, t_max, time_step, (last_label0, state0, tokens0, lens0)
+    _, _, tokens, steps, lens = jax.lax.fori_loop(
+        0, t_max, time_step, (last_label0, state0, tokens0, steps0, lens0)
     )
+    if return_timestamps:
+        return tokens, lens, steps
     return tokens, lens
 
 

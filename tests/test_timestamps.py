@@ -102,3 +102,42 @@ def test_api_transcribe_with_timestamps(tmp_path):
     for words in ts:
         for w in words:
             assert w.start_s >= 0 and w.duration_s >= 0
+
+
+def test_rnnt_hypotheses_and_word_timestamps(tmp_path):
+    """Transducer greedy decode records per-token emission frames
+    (reference Hypothesis.timestep) surfaced via return_hypotheses and
+    transcribe_with_timestamps."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conformer_nemo_tpu.api import ConformerTransducer, TranscriptionHypothesis
+    from conformer_nemo_tpu.data.audio_io import write_wav
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    p = str(tmp_path / "u.wav")
+    write_wav(p, (0.1 * np.random.RandomState(0).randn(8000)).astype(np.float32), 16000)
+
+    model = ConformerTransducer(
+        {"model": {
+            "labels": list("ab "), "sample_rate": 16000,
+            "preprocessor": {}, "encoder": {"n_layers": 1, "d_model": 32, "n_heads": 2,
+                                            "subsampling_conv_channels": 32},
+            "decoder": {"prednet": {"pred_hidden": 16}},
+            "joint": {"jointnet": {"joint_hidden": 16}},
+        }},
+        CharTokenizer(list("ab ")), dtype=jnp.float32)
+    model.state = model._init_state(model._make_optimizer())
+
+    hyps = model.transcribe([p], batch_size=1, return_hypotheses=True)
+    assert isinstance(hyps[0], TranscriptionHypothesis)
+    assert hyps[0].timestep is not None
+    assert len(hyps[0].timestep) == len(hyps[0].y_sequence)
+    # emission frames are non-decreasing and within the encoder length
+    ts = hyps[0].timestep
+    assert all(a <= b for a, b in zip(ts, ts[1:]))
+
+    out = model.transcribe_with_timestamps([p], batch_size=1)
+    assert out[0]["text"] == hyps[0].text
+    for w in out[0]["words"]:
+        assert w.start_s >= 0 and w.duration_s >= 0
