@@ -160,6 +160,7 @@ class _BaseASRModel:
             sample_rate=ds_cfg.get("sample_rate", 16000),
             n_buckets=ds_cfg.get("num_buckets", 8),
             trim_silence=bool(ds_cfg.get("trim_silence", False)),
+            use_start_end_token=bool(ds_cfg.get("use_start_end_token", False)),
         )
         return BucketedLoader(
             ds, ds_cfg.get("batch_size", 16),

@@ -69,11 +69,16 @@ class BucketedAudioTextDataset:
         token_cap_per_sec: float = 8.0,
         min_token_cap: int = 16,
         trim_silence: bool = False,
+        use_start_end_token: bool = False,
     ):
         self.samples = samples
         self.tokenizer = tokenizer
         self.sample_rate = sample_rate
         self.trim_silence = trim_silence
+        # reference AudioToBPEDataset semantics (audio_to_text.py:929-940):
+        # wrap token ids with bos/eos when the tokenizer defines them
+        self.bos_id = getattr(tokenizer, "bos_id", None) if use_start_end_token else None
+        self.eos_id = getattr(tokenizer, "eos_id", None) if use_start_end_token else None
         self.boundaries = make_bucket_boundaries(
             [s.duration for s in samples], n_buckets, sample_rate
         )
@@ -95,8 +100,15 @@ class BucketedAudioTextDataset:
 
     def encode_text(self, s: AudioTextSample):
         if s.lang is not None and hasattr(self.tokenizer, "offsets"):
-            return self.tokenizer.text_to_ids(s.text, s.lang)
-        return self.tokenizer.text_to_ids(s.text)
+            ids = self.tokenizer.text_to_ids(s.text, s.lang)
+        else:
+            ids = self.tokenizer.text_to_ids(s.text)
+        if ids is not None:
+            if self.bos_id is not None and self.bos_id >= 0:
+                ids = [self.bos_id] + ids
+            if self.eos_id is not None and self.eos_id >= 0:
+                ids = ids + [self.eos_id]
+        return ids
 
     def load_item(self, idx: int):
         s = self.samples[idx]

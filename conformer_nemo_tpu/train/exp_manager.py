@@ -43,23 +43,26 @@ class ExpManagerConfig:
     # proceeds (this image has no network egress).
     create_wandb_logger: bool = False
     wandb_logger_kwargs: Optional[dict] = None
+    create_tensorboard_logger: bool = True
 
 
 class ScalarLogger:
     """JSONL scalar logger (+ optional TB events if tensorboardX exists,
     + optional W&B run if requested and wandb is importable)."""
 
-    def __init__(self, log_dir: str, wandb_kwargs: Optional[dict] = None):
+    def __init__(self, log_dir: str, wandb_kwargs: Optional[dict] = None,
+                 tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
         self._wandb = None
-        try:
-            from tensorboardX import SummaryWriter  # optional
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter  # optional
 
-            self._tb = SummaryWriter(log_dir)
-        except Exception:
-            pass
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                pass
         if wandb_kwargs is not None:
             try:
                 import wandb  # optional
@@ -110,6 +113,7 @@ class ExperimentManager:
         self.logger = ScalarLogger(
             self.run_dir,
             (cfg.wandb_logger_kwargs or {}) if cfg.create_wandb_logger else None,
+            tensorboard=cfg.create_tensorboard_logger,
         )
         self._write_env_info()
 

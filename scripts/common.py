@@ -67,5 +67,6 @@ def build_exp_manager(raw_cfg):
                                              cb.get("always_save_nemo", True))),
             create_wandb_logger=bool(em.get("create_wandb_logger", False)),
             wandb_logger_kwargs=em.get("wandb_logger_kwargs"),
+            create_tensorboard_logger=bool(em.get("create_tensorboard_logger", True)),
         )
     )
