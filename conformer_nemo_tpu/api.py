@@ -242,6 +242,7 @@ class _BaseASRModel:
 
         step = int(self.state.step)
         t0 = time.time()
+        _tlog = [t0]  # last logging-window boundary (train_step_timing)
         metrics = {}
         sharding = batch_sharding(self._mesh)
         for epoch in range(max_epochs):
@@ -252,10 +253,18 @@ class _BaseASRModel:
                 self.state, metrics = step_fn(self.state, bd)
                 step += 1
                 if step % log_every == 0:
-                    loss = float(metrics["loss"])
+                    loss = float(metrics["loss"])  # forces sync of the window
+                    now = time.time()
                     if exp_manager:
-                        exp_manager.logger.log(step, train_loss=loss,
-                                               grad_norm=float(metrics["grad_norm"]))
+                        # amortized wall time per step over the logging window
+                        # (reference TimingCallback train_step_timing,
+                        # exp_manager.py:121-163)
+                        exp_manager.logger.log(
+                            step, train_loss=loss,
+                            grad_norm=float(metrics["grad_norm"]),
+                            train_step_timing=(now - _tlog[0]) / log_every,
+                        )
+                    _tlog[0] = now
                 if val_every_n_steps and step % val_every_n_steps == 0:
                     _validate(step)
                 if max_steps and step >= max_steps:
@@ -798,11 +807,7 @@ class ConformerTransducer(_BaseASRModel):
                                       int(steps[row, j]) + 1, 1.0)
                     for j in range(n)
                 ]
-                words = words_from_alignments(units, self.tokenizer, stride)
-                results.append({
-                    "text": self.tokenizer.ids_to_text(toks[row, :n].tolist()),
-                    "words": words,
-                })
+                results.append(words_from_alignments(units, self.tokenizer, stride))
         return results
 
     def transcribe_buffered(self, audio_paths: Sequence[str],

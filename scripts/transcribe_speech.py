@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--wer", action="store_true")
     ap.add_argument("--output", default=None, help="write hypotheses JSONL")
     ap.add_argument("--timestamps", action="store_true",
-                    help="CTC only: emit word timestamps; with --ctm-dir, "
+                    help="emit word timestamps; with --ctm-dir, "
                          "write one .ctm per file")
     ap.add_argument("--ctm-dir", default=None)
     args = ap.parse_args(leftover)
@@ -48,8 +48,6 @@ def main():
 
     word_ts = None
     if args.timestamps:
-        if args.model_type != "ctc":
-            raise SystemExit("--timestamps is CTC-only (frame alignments)")
         word_ts = model.transcribe_with_timestamps(
             paths, batch_size=args.batch_size)
         for p, words in zip(paths, word_ts):

@@ -138,6 +138,6 @@ def test_rnnt_hypotheses_and_word_timestamps(tmp_path):
     assert all(a <= b for a, b in zip(ts, ts[1:]))
 
     out = model.transcribe_with_timestamps([p], batch_size=1)
-    assert out[0]["text"] == hyps[0].text
-    for w in out[0]["words"]:
+    assert " ".join(w.word for w in out[0]) == hyps[0].text.strip()
+    for w in out[0]:
         assert w.start_s >= 0 and w.duration_s >= 0
