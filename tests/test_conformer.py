@@ -216,3 +216,28 @@ def test_untie_biases_false_shares_one_pair():
     p2 = ConformerEncoder(cfg2).init(jax.random.PRNGKey(0), feats, lens)["params"]
     assert "pos_bias_u" in p2["layers_0"]["self_attn"]
     assert "pos_bias_u" not in p2
+
+
+def test_fast_dropout_unbiased_and_rate():
+    """FastDropout (uint8 bits): E[out] == x and the realized drop rate is
+    round(rate*256)/256."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conformer_nemo_tpu.models.conformer import FastDropout
+
+    x = jnp.ones((512, 512), jnp.float32)
+    mod = FastDropout(0.1)
+    v = mod.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                 x, deterministic=False)
+    out = mod.apply(v, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
+    out = np.asarray(out)
+    realized = float((out == 0).mean())
+    expected = round(0.1 * 256) / 256  # 0.1015625
+    assert abs(realized - expected) < 0.005
+    # unbiased: mean preserved
+    assert abs(out.mean() - 1.0) < 0.01
+    # deterministic path is the identity
+    same = mod.apply(v, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(x))

@@ -126,3 +126,26 @@ def test_pad_to_multiple():
     wav = np.zeros((1, 16000), dtype=np.float32)
     feats, _ = log_mel_spectrogram(cfg, wav, np.array([16000], dtype=np.int32))
     assert feats.shape[-1] % 16 == 0
+
+
+def test_framed_dft_equals_framed_matmul():
+    """The hop-decomposed gather-free DFT must equal frames @ basis exactly
+    (up to fp32 partial-sum order) for assorted (n_fft, hop, T)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conformer_nemo_tpu.audio.features import (
+        _frame_signal, _framed_dft, stft_basis)
+
+    rng = np.random.RandomState(0)
+    for (n_fft, hop, t) in [(512, 160, 4512), (512, 160, 512), (400, 160, 2000),
+                            (256, 300, 1500), (512, 512, 2048)]:
+        x = jnp.asarray(rng.randn(3, t).astype(np.float32))
+        basis = jnp.asarray(stft_basis(n_fft, n_fft))
+        ref = jnp.einsum("bfn,nk->bfk", _frame_signal(x, n_fft, hop), basis,
+                         precision=jax.lax.Precision.HIGHEST)
+        new = _framed_dft(x, basis, n_fft, hop)
+        assert ref.shape == new.shape
+        err = float(jnp.max(jnp.abs(ref - new)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert err < 1e-6, (n_fft, hop, t, err)
