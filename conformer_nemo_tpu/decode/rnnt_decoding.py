@@ -31,6 +31,9 @@ class RNNTDecoding:
         self.strategy = cfg.get("strategy", "greedy_batch")
         greedy_cfg = cfg.get("greedy") or {}
         self.max_symbols = int(greedy_cfg.get("max_symbols", 10) or 10)
+        # reference greedy/beam `preserve_alignments` knob
+        # (rnnt_greedy_decoding.py): keep per-token emission frames
+        self.preserve_alignments = bool(greedy_cfg.get("preserve_alignments", False))
         beam_cfg = cfg.get("beam") or {}
         self._beam_cfg = beam_cfg
         self._beam = None
@@ -46,12 +49,23 @@ class RNNTDecoding:
             )
 
     def decode(self, enc, enc_lens) -> List[List[int]]:
-        """encoder output [B, T, D] + lens -> list of token-id lists."""
+        """encoder output [B, T, D] + lens -> list of token-id lists. With
+        preserve_alignments, per-call alignments (emission frame per token)
+        are stored on `self.last_alignments`."""
+        self.last_alignments = None
         if self.strategy in ("greedy", "greedy_batch"):
-            tokens, lens = rnnt_greedy_decode_batched(
+            out = rnnt_greedy_decode_batched(
                 self.model, self.variables, jnp.asarray(enc), jnp.asarray(enc_lens),
                 max_symbols=self.max_symbols,
+                return_timestamps=self.preserve_alignments,
             )
+            if self.preserve_alignments:
+                tokens, lens, steps = out
+                st = np.asarray(steps)
+                self.last_alignments = [
+                    st[i, : int(lens[i])].tolist() for i in range(st.shape[0])]
+            else:
+                tokens, lens = out
             toks = np.asarray(tokens)
             return [toks[i, : int(lens[i])].tolist() for i in range(toks.shape[0])]
         if self.strategy == "beam_batch":

@@ -153,3 +153,38 @@ def test_beam_batch_improves_or_matches_score(overfit_model):
     nll_b = path_nll(bt, bl)
     for g_, b_ in zip(nll_g, nll_b):
         assert b_ <= g_ + 1e-3, (nll_g, nll_b)
+
+
+def test_decoding_facade_preserve_alignments():
+    """decoding.greedy.preserve_alignments keeps per-token emission frames
+    (reference rnnt_greedy_decoding.py preserve_alignments)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from conformer_nemo_tpu.decode.rnnt_decoding import RNNTDecoding
+    from conformer_nemo_tpu.models.conformer import ConformerEncoderConfig
+    from conformer_nemo_tpu.models.rnnt import (
+        RNNTDecoderConfig, RNNTJointConfig, RNNTModel, RNNTModelConfig)
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    cfg = RNNTModelConfig(
+        encoder=ConformerEncoderConfig(feat_in=8, n_layers=1, d_model=16, n_heads=2,
+                                       subsampling_conv_channels=16, dtype=jnp.float32),
+        decoder=RNNTDecoderConfig(vocab_size=3, pred_hidden=8, dtype=jnp.float32),
+        joint=RNNTJointConfig(joint_hidden=8, dtype=jnp.float32))
+    model = RNNTModel(cfg)
+    feats = jnp.zeros((2, 8, 32), jnp.float32)
+    lens = jnp.array([32, 24], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), feats, lens,
+                           jnp.zeros((2, 3), jnp.int32), jnp.array([3, 2], jnp.int32),
+                           train=False)
+    enc, enc_lens = model.apply(variables, feats, lens, train=False,
+                                method=RNNTModel.encode)
+    dec = RNNTDecoding(model, variables, CharTokenizer(list("ab ")),
+                       {"strategy": "greedy_batch",
+                        "greedy": {"max_symbols": 4, "preserve_alignments": True}})
+    ids = dec.decode(enc, enc_lens)
+    assert dec.last_alignments is not None
+    for seq, al in zip(ids, dec.last_alignments):
+        assert len(seq) == len(al)
+        assert all(0 <= t for t in al)
