@@ -413,6 +413,36 @@ class ConformerCTC(_BaseASRModel):
             self._eval_step = make_ctc_eval_step(self.cfg)
         return evaluate_wer(self.cfg, self.state, loader, self.tokenizer, self._eval_step)
 
+    def change_decoding_strategy(self, decoding_cfg: dict):
+        """CTC decoding strategy swap: 'greedy' (default) or
+        'beamsearch_ngram' — prefix beam search with optional ARPA n-gram LM
+        fusion in native C++ (the reference's external ctc_decoders + KenLM
+        Scorer, beam_search_decoder.py:21-103). beam keys: beam_width, alpha,
+        beta, lm_path, nbest."""
+        strategy = decoding_cfg.get("strategy", "greedy")
+        if strategy not in ("greedy", "beamsearch_ngram"):
+            raise ValueError(f"unknown CTC decoding strategy {strategy!r}")
+        self.raw_cfg["model"]["decoding"] = decoding_cfg
+        self._beam_decoder = None
+
+    def _get_beam_decoder(self):
+        if getattr(self, "_beam_decoder", None) is None:
+            from conformer_nemo_tpu.decode.ctc_beam import BeamSearchDecoderWithLM
+
+            beam = (self.raw_cfg["model"].get("decoding") or {}).get("beam") or {}
+            ids_to_tokens = getattr(self.tokenizer, "ids_to_tokens")
+            vocab = ids_to_tokens(list(range(self.tokenizer.vocab_size)))
+            self._beam_decoder = BeamSearchDecoderWithLM(
+                vocab,
+                beam_width=int(beam.get("beam_width", 64)),
+                alpha=float(beam.get("alpha", 1.0)),
+                beta=float(beam.get("beta", 1.5)),
+                lm_path=beam.get("lm_path"),
+            )
+            # SentencePiece-style pieces mark word starts with '▁'
+            self._beam_is_spm = any(t.startswith("▁") for t in vocab)
+        return self._beam_decoder
+
     def change_vocabulary(self, tokenizer):
         """Swap tokenizer + decoder head for fine-tuning on a new vocabulary
         (reference change_vocabulary, ctc_models.py:320): encoder params are
@@ -547,6 +577,18 @@ class ConformerCTC(_BaseASRModel):
         from conformer_nemo_tpu.decode.ctc_greedy import collapse_ctc_ids
         from conformer_nemo_tpu.train.trainer import make_ctc_eval_step
 
+        strategy = (self.raw_cfg["model"].get("decoding") or {}).get("strategy", "greedy")
+        if mode == "text" and strategy == "beamsearch_ngram":
+            dec = self._get_beam_decoder()
+            lps = self._decode_audio_batch(audio, lens, mode="logprobs")
+            nbest = dec(np.stack([
+                np.pad(lp, ((0, max(l.shape[0] for l in lps) - lp.shape[0]), (0, 0)))
+                for lp in lps
+            ]), seq_lens=np.array([lp.shape[0] for lp in lps]))
+            texts = [cands[0][0] if cands else "" for cands in nbest]
+            if getattr(self, "_beam_is_spm", False):
+                texts = [t.replace("▁", " ").strip() for t in texts]
+            return texts
         if mode in ("logprobs", "hypotheses"):
             # full log-prob forward (reference transcribe(logprobs=True),
             # ctc_models.py:215-318)

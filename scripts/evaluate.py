@@ -20,8 +20,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--cer", action="store_true")
     ap.add_argument("--decoding-strategy", default=None,
-                    help="rnnt: greedy_batch | beam_batch | beam | tsd | alsd | maes")
+                    help="rnnt: greedy_batch | beam_batch | beam | tsd | alsd | maes; "
+                         "ctc: greedy | beamsearch_ngram")
     ap.add_argument("--beam-size", type=int, default=4)
+    ap.add_argument("--lm-path", default=None, help="ARPA n-gram LM (ctc beamsearch_ngram)")
+    ap.add_argument("--beam-alpha", type=float, default=1.0)
+    ap.add_argument("--beam-beta", type=float, default=1.5)
     args = ap.parse_args(leftover)
 
     from conformer_nemo_tpu.api import ConformerCTC, ConformerTransducer
@@ -31,13 +35,18 @@ def main():
     cls = ConformerCTC if args.model_type == "ctc" else ConformerTransducer
     model = cls.restore_portable(args.model)
     if args.decoding_strategy:
-        if args.model_type != "rnnt":
-            raise SystemExit("--decoding-strategy is rnnt-only")
-        model.change_decoding_strategy({
-            "strategy": args.decoding_strategy,
-            "greedy": {"max_symbols": 10},
-            "beam": {"beam_size": args.beam_size, "tsd_max_sym_exp": 2},
-        })
+        if args.model_type == "rnnt":
+            model.change_decoding_strategy({
+                "strategy": args.decoding_strategy,
+                "greedy": {"max_symbols": 10},
+                "beam": {"beam_size": args.beam_size, "tsd_max_sym_exp": 2},
+            })
+        else:
+            model.change_decoding_strategy({
+                "strategy": args.decoding_strategy,
+                "beam": {"beam_width": args.beam_size, "alpha": args.beam_alpha,
+                         "beta": args.beam_beta, "lm_path": args.lm_path},
+            })
     samples = read_manifest(args.manifest)
     hyps = model.transcribe([s.audio_file for s in samples], batch_size=args.batch_size)
     refs = [s.text for s in samples]

@@ -107,3 +107,37 @@ def test_batch_and_seq_lens():
     out = dec(lp, seq_lens=np.array([8, 5, 2]), nbest=3)
     assert len(out) == 3
     assert all(len(h) >= 1 for h in out)
+
+
+def test_ctc_api_beamsearch_ngram_strategy(tmp_path):
+    """ConformerCTC.change_decoding_strategy('beamsearch_ngram') routes
+    transcribe through the native beam decoder (reference
+    BeamSearchDecoderWithLM wiring)."""
+    import jax
+    jax_cpu = jax  # conftest already forces cpu
+    import jax.numpy as jnp
+    import numpy as np
+    from conformer_nemo_tpu.api import ConformerCTC
+    from conformer_nemo_tpu.data.audio_io import write_wav
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    p = str(tmp_path / "u.wav")
+    write_wav(p, (0.1 * np.random.RandomState(0).randn(8000)).astype(np.float32), 16000)
+    model = ConformerCTC(
+        {"model": {"labels": list("ab "), "sample_rate": 16000, "preprocessor": {},
+                   "encoder": {"n_layers": 1, "d_model": 32, "n_heads": 2,
+                               "subsampling_conv_channels": 32},
+                   "decoder": {}}},
+        CharTokenizer(list("ab ")), dtype=jnp.float32)
+    model.state = model._init_state(model._make_optimizer())
+
+    greedy = model.transcribe([p], batch_size=1)
+    model.change_decoding_strategy({"strategy": "beamsearch_ngram",
+                                    "beam": {"beam_width": 8}})
+    beam = model.transcribe([p], batch_size=1)
+    # beam width 8 without LM on an untrained model: both decodes valid text
+    assert isinstance(beam[0], str)
+    # beam-1-equivalence isn't guaranteed, but charset must match
+    assert set(beam[0]) <= set("ab ")
+    model.change_decoding_strategy({"strategy": "greedy"})
+    assert model.transcribe([p], batch_size=1) == greedy
