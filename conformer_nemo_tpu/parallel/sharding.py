@@ -41,6 +41,9 @@ def _spec_for_path(path: tuple, leaf) -> P:
     if parent in _ROW and leaf_name == "kernel" and ndim == 2:
         return P("model", None)
     # row-parallel bias stays replicated (added after the all-reduce)
+    if leaf_name == "linear_pos_kernel" and ndim == 2:
+        # rel-pos projection [D, H*dk]: head-sharded like q/k/v
+        return P(None, "model")
     if leaf_name == "depthwise_kernel" and ndim == 3:
         return P(None, None, "model")
     if leaf_name == "depthwise_bias" and ndim == 1:
