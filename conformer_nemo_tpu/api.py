@@ -206,6 +206,15 @@ class _BaseASRModel:
         optimizer = self._make_optimizer()
         if self.state is None:
             self.state = self._init_state(optimizer)
+        # explicit checkpoint-dir resume (reference trainer.resume_from_checkpoint)
+        rfc = tr.get("resume_from_checkpoint")
+        if rfc:
+            from conformer_nemo_tpu.train.checkpoint import restore_train_state
+
+            restored, _ = restore_train_state(rfc, self.state)
+            if restored is None:
+                raise FileNotFoundError(f"resume_from_checkpoint: no checkpoint in {rfc}")
+            self.state = restored
         if exp_manager is not None:
             restored, meta = exp_manager.maybe_resume(self.state)
             if restored is not None:

@@ -123,3 +123,49 @@ def test_async_save_matches_sync(tmp_path):
     import numpy as np
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   np.arange(4.0))
+
+
+def test_trainer_resume_from_checkpoint(tmp_path):
+    """trainer.resume_from_checkpoint points at a checkpoint dir and resumes
+    fit from it (reference trainer key, conformer_ctc_bpe.yaml)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conformer_nemo_tpu.api import ConformerCTC
+    from conformer_nemo_tpu.data.audio_io import write_wav
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+    from conformer_nemo_tpu.train.checkpoint import save_train_state
+
+    man = tmp_path / "m.json"
+    rng = np.random.RandomState(0)
+    with open(man, "w") as f:
+        p = tmp_path / "u.wav"
+        write_wav(str(p), (0.1 * rng.randn(8000)).astype(np.float32), 16000)
+        f.write(json.dumps({"audio_filepath": str(p), "duration": 0.5, "text": "ab"}) + "\n")
+
+    def make(resume=None):
+        return ConformerCTC(
+            {"model": {"labels": list("ab "), "preprocessor": {"features": 32},
+                       "encoder": {"feat_in": 32, "n_layers": 1, "d_model": 32,
+                                   "n_heads": 2, "subsampling_conv_channels": 32},
+                       "decoder": {},
+                       "train_ds": {"manifest_filepath": str(man), "batch_size": 1}},
+             "trainer": {"max_steps": 1,
+                         **({"resume_from_checkpoint": resume} if resume else {})}},
+            CharTokenizer(list("ab ")), dtype=jnp.float32)
+
+    m1 = make()
+    m1.fit()
+    ckdir = str(tmp_path / "ck")
+    save_train_state(ckdir, m1.state, int(m1.state.step))
+
+    m2 = make(resume=ckdir)
+    m2.fit(max_steps=int(m1.state.step) + 1)
+    assert int(m2.state.step) > int(m1.state.step)
+
+    import pytest
+    m3 = make(resume=str(tmp_path / "nonexistent"))
+    with pytest.raises(FileNotFoundError):
+        m3.fit()
