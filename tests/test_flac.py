@@ -267,3 +267,39 @@ def test_load_audio_flac_path(tmp_path):
 
     out = load_audio(str(p), target_sr=16000)
     np.testing.assert_array_equal((out * 32768).round().astype(np.int64), x)
+
+
+def test_wasted_bits_roundtrip():
+    """Subframes with wasted bits: samples encoded right-shifted by k with a
+    unary wasted-bits count; decoder must shift back."""
+    rng = np.random.RandomState(13)
+    k = 3
+    x = (rng.randint(-4000, 4000, size=128) << k).astype(np.int64)
+
+    def frames(bw):
+        frame_header(bw, 128, ch_code=0)
+        bw.write(0, 1)
+        bw.write(1, 6)  # VERBATIM
+        bw.write(1, 1)  # wasted bits present
+        bw.write_unary(k - 1)  # k = count-of-zeros + 1
+        for s in x >> k:
+            bw.write_signed(int(s), 16 - k)
+        end_frame(bw)
+
+    audio, _ = read_flac_bytes(make_flac(frames, total=128))
+    np.testing.assert_array_equal((audio * 32768).round().astype(np.int64), x)
+
+
+@pytest.mark.parametrize("bps,bps_code", [(8, 1), (24, 6)])
+def test_other_bit_depths(bps, bps_code):
+    rng = np.random.RandomState(bps)
+    lim = 1 << (bps - 1)
+    x = rng.randint(-lim, lim - 1, size=64).astype(np.int64)
+
+    def frames(bw):
+        frame_header(bw, 64, ch_code=0, bps_code=bps_code)
+        sub_verbatim(bw, x, bps)
+        end_frame(bw)
+
+    audio, _ = read_flac_bytes(make_flac(frames, bps=bps, total=64))
+    np.testing.assert_array_equal((audio * lim).round().astype(np.int64), x)
