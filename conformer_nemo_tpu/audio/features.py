@@ -98,6 +98,30 @@ def _hann_window_sym(win_length: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (win_length - 1))
 
 
+def window_fn(window: str | None, win_length: int) -> np.ndarray:
+    """Symmetric (periodic=False) analysis window.
+
+    Same set the reference wires into torch.stft (features.py:279-288):
+    hann | hamming | blackman | bartlett | none, each matching the
+    corresponding torch.*_window(win_length, periodic=False).
+    """
+    if window in (None, "none"):
+        return np.ones(win_length, dtype=np.float64)
+    if win_length == 1:
+        return np.ones(1, dtype=np.float64)
+    n = np.arange(win_length, dtype=np.float64)
+    frac = n / (win_length - 1)
+    if window == "hann":
+        return 0.5 - 0.5 * np.cos(2.0 * np.pi * frac)
+    if window == "hamming":
+        return 0.54 - 0.46 * np.cos(2.0 * np.pi * frac)
+    if window == "blackman":
+        return 0.42 - 0.5 * np.cos(2.0 * np.pi * frac) + 0.08 * np.cos(4.0 * np.pi * frac)
+    if window == "bartlett":
+        return 1.0 - np.abs(2.0 * frac - 1.0)
+    raise ValueError(f"unsupported window: {window}")
+
+
 def stft_basis(n_fft: int, win_length: int, window: str = "hann") -> np.ndarray:
     """Windowed real-DFT basis, [n_fft, 2 * n_bins] = [cos | -sin] columns.
 
@@ -106,12 +130,7 @@ def stft_basis(n_fft: int, win_length: int, window: str = "hann") -> np.ndarray:
     the DFT as a matmul keeps the STFT on the MXU.
     """
     n_bins = n_fft // 2 + 1
-    if window == "hann":
-        win = _hann_window_sym(win_length)
-    elif window in (None, "none"):
-        win = np.ones(win_length, dtype=np.float64)
-    else:
-        raise ValueError(f"unsupported window: {window}")
+    win = window_fn(window, win_length)
     # torch.stft center-pads a short window with zeros to n_fft.
     pad_left = (n_fft - win_length) // 2
     full_win = np.zeros(n_fft, dtype=np.float64)
@@ -138,20 +157,39 @@ class MelFeatureConfig:
     sample_rate: int = 16000
     window_size: float = 0.025  # seconds
     window_stride: float = 0.01  # seconds
-    window: str = "hann"
+    window: str = "hann"  # hann | hamming | blackman | bartlett | none
     features: int = 80
     n_fft: int | None = 512
     lowfreq: float = 0.0
     highfreq: float | None = None
     log: bool = True
-    log_zero_guard_value: float = LOG_GUARD
+    log_zero_guard_type: str = "add"  # add | clamp (features.py:424-429)
+    log_zero_guard_value: float | str = LOG_GUARD  # number | 'tiny' | 'eps'
     dither: float = 1e-5
     preemph: float | None = 0.97
-    normalize: str = "per_feature"  # per_feature | all_features | none
+    normalize: str = "per_feature"  # per_feature | all_features | fixed_mean_and_std | none
+    # used when normalize == 'fixed_mean_and_std' (reference normalize_batch
+    # accepts a dict with 'fixed_mean'/'fixed_std'; features.py:78-81).
+    fixed_mean: tuple | None = None
+    fixed_std: tuple | None = None
     mag_power: float = 2.0
-    pad_to: int = 0
+    pad_to: int | str = 0  # int multiple, or 'max' (pad to max_duration frames)
     pad_value: float = 0.0
+    max_duration: float = 16.7  # only used by pad_to='max' (features.py:315)
     frame_splicing: int = 1
+    exact_pad: bool = False  # center=False with (n_fft-hop)//2 reflect pad
+    # narrowband simulation: with prob p per sample (train only), zero all FFT
+    # bins >= nb_max_freq (features.py:333-338,410-413).
+    nb_augmentation_prob: float = 0.0
+    nb_max_freq: int = 4000
+
+    def __post_init__(self):
+        if self.exact_pad and self.hop_length % 2 == 1:
+            # reference raises the same constraint (features.py:241-245)
+            raise ValueError("exact_pad requires an even hop size")
+        if self.log_zero_guard_type not in ("add", "clamp"):
+            raise ValueError(
+                f"log_zero_guard_type must be 'add' or 'clamp', got {self.log_zero_guard_type!r}")
 
     @property
     def win_length(self) -> int:
@@ -165,14 +203,33 @@ class MelFeatureConfig:
     def n_fft_(self) -> int:
         return self.n_fft or 2 ** math.ceil(math.log2(self.win_length))
 
+    @property
+    def stft_pad_amount(self) -> int:
+        """One-sided reflect pad: center=True pads n_fft//2; exact_pad pads
+        (n_fft - hop)//2 so out frames == len//hop (features.py:267,385-388)."""
+        n_fft = self.n_fft_
+        return (n_fft - self.hop_length) // 2 if self.exact_pad else n_fft // 2
+
+    @property
+    def log_guard(self) -> float:
+        """Resolve 'tiny'/'eps' against fp32 like the reference's
+        log_zero_guard_value_fn (features.py:354-368; x is fp32 on our path)."""
+        v = self.log_zero_guard_value
+        if v == "tiny":
+            return float(np.finfo(np.float32).tiny)
+        if v == "eps":
+            return float(np.finfo(np.float32).eps)
+        return float(v)
+
 
 def mel_seq_len(cfg: MelFeatureConfig, sample_len) -> jnp.ndarray:
-    """Number of STFT frames for `sample_len` samples (center=True padding).
+    """Number of STFT frames for `sample_len` samples.
 
-    Parity with reference get_seq_len (features.py:369-377).
+    Parity with reference get_seq_len (features.py:369-377), including the
+    exact_pad variant's smaller pad amount.
     """
     n_fft, hop = cfg.n_fft_, cfg.hop_length
-    pad_amount = (n_fft // 2) * 2
+    pad_amount = cfg.stft_pad_amount * 2
     return (jnp.floor((jnp.asarray(sample_len, jnp.float32) + pad_amount - n_fft) / hop) + 1).astype(jnp.int32)
 
 
@@ -239,22 +296,36 @@ def log_mel_spectrogram(
     x = waveform.astype(jnp.float32)
     seq_len = mel_seq_len(cfg, lengths)
 
-    if training and cfg.dither > 0:
+    needs_nb = training and 0.0 < cfg.nb_augmentation_prob and cfg.nb_max_freq < cfg.sample_rate / 2
+    if training and (cfg.dither > 0 or needs_nb):
         if rng is None:
-            raise ValueError("training=True with dither>0 requires an rng key")
+            raise ValueError("training=True with dither/nb augmentation requires an rng key")
+        rng, nb_rng = jax.random.split(rng)
+    if training and cfg.dither > 0:
         x = x + cfg.dither * jax.random.normal(rng, x.shape, dtype=x.dtype)
 
     if cfg.preemph is not None:
         x = jnp.concatenate([x[:, :1], x[:, 1:] - cfg.preemph * x[:, :-1]], axis=1)
 
-    # center=True reflect padding (torch.stft default pad_mode='reflect').
-    pad = n_fft // 2
+    # Reflect padding: torch.stft center=True pads n_fft//2; the exact_pad
+    # mode instead pre-pads (n_fft-hop)//2 and runs center=False, so the
+    # frame count is exactly len//hop (features.py:385-388).
+    pad = cfg.stft_pad_amount
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
 
     basis = jnp.asarray(stft_basis(n_fft, cfg.win_length, cfg.window))
     spec = _framed_dft(x, basis, n_fft, hop)  # == frames @ basis, gather-free
     n_bins = n_fft // 2 + 1
     power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2  # [B, F, bins]
+
+    if needs_nb:
+        # Per-sample narrowband simulation (features.py:410-413): zeroing the
+        # magnitude bins >= nb_max_fft_bin equals zeroing the power bins.
+        nb_bin = int((cfg.nb_max_freq / cfg.sample_rate) * n_fft)
+        drop = jax.random.bernoulli(nb_rng, cfg.nb_augmentation_prob, (power.shape[0], 1, 1))
+        hi = (jnp.arange(n_bins) >= nb_bin)[None, None, :]
+        power = jnp.where(drop & hi, 0.0, power)
+
     if cfg.mag_power == 1.0:
         power = jnp.sqrt(power)
     elif cfg.mag_power != 2.0:
@@ -266,7 +337,10 @@ def log_mel_spectrogram(
     mel = jnp.einsum("bfk,mk->bmf", power, fb, precision=jax.lax.Precision.HIGHEST)  # [B, D, F]
 
     if cfg.log:
-        mel = jnp.log(mel + cfg.log_zero_guard_value)
+        if cfg.log_zero_guard_type == "add":
+            mel = jnp.log(mel + cfg.log_guard)
+        else:  # clamp (features.py:427-428)
+            mel = jnp.log(jnp.maximum(mel, cfg.log_guard))
 
     if cfg.frame_splicing > 1:
         # Literal parity with reference splice_frames (features.py:86-96):
@@ -294,10 +368,27 @@ def log_mel_spectrogram(
         var = jnp.sum(((mel - mean) * mask) ** 2, axis=(1, 2), keepdims=True) / jnp.maximum(cnt - 1.0, 1.0)
         std = jnp.sqrt(var) + STD_GUARD
         mel = (mel - mean) / std
+    elif cfg.normalize == "fixed_mean_and_std":
+        # reference normalize_batch dict mode (features.py:78-81): global
+        # per-feature constants, no length masking.
+        mean = jnp.asarray(cfg.fixed_mean, jnp.float32)[None, :, None]
+        std = jnp.asarray(cfg.fixed_std, jnp.float32)[None, :, None]
+        mel = (mel - mean) / std
 
     mel = jnp.where(valid[:, None, :], mel, cfg.pad_value)
 
-    if cfg.pad_to and cfg.pad_to > 0:
+    if cfg.pad_to == "max":
+        # pad to the frame count of max_duration (features.py:314-318,447-449)
+        max_len = int(
+            math.floor((cfg.max_duration * cfg.sample_rate + cfg.stft_pad_amount * 2 - n_fft) / hop)
+            + 1
+        )
+        if mel.shape[-1] < max_len:
+            mel = jnp.pad(
+                mel, ((0, 0), (0, 0), (0, max_len - mel.shape[-1])),
+                constant_values=cfg.pad_value,
+            )
+    elif cfg.pad_to and cfg.pad_to > 0:
         rem = mel.shape[-1] % cfg.pad_to
         if rem != 0:
             mel = jnp.pad(

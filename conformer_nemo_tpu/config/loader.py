@@ -75,9 +75,24 @@ def build_preprocessor_config(p: dict) -> MelFeatureConfig:
             "highfreq": "highfreq", "log": "log", "dither": "dither",
             "preemph": "preemph", "normalize": "normalize",
             "mag_power": "mag_power", "pad_to": "pad_to", "pad_value": "pad_value",
-            "frame_splicing": "frame_splicing",
+            "frame_splicing": "frame_splicing", "exact_pad": "exact_pad",
+            "log_zero_guard_type": "log_zero_guard_type",
+            "log_zero_guard_value": "log_zero_guard_value",
+            "max_duration": "max_duration",
+            "nb_augmentation_prob": "nb_augmentation_prob",
+            "nb_max_freq": "nb_max_freq",
         },
     )
+    # normalize may arrive as the reference's dict form
+    # {'fixed_mean': [...], 'fixed_std': [...]} (features.py:78-81)
+    norm = kw.get("normalize")
+    if isinstance(norm, dict):
+        kw["normalize"] = "fixed_mean_and_std"
+        kw["fixed_mean"] = tuple(norm["fixed_mean"])
+        kw["fixed_std"] = tuple(norm["fixed_std"])
+    for key in ("fixed_mean", "fixed_std"):
+        if key in p and p[key] is not None:
+            kw[key] = tuple(p[key])
     return MelFeatureConfig(**kw)
 
 

@@ -149,3 +149,129 @@ def test_framed_dft_equals_framed_matmul():
         assert ref.shape == new.shape
         err = float(jnp.max(jnp.abs(ref - new)) / (jnp.max(jnp.abs(ref)) + 1e-9))
         assert err < 1e-6, (n_fft, hop, t, err)
+
+
+@pytest.mark.parametrize("window", ["hamming", "blackman", "bartlett"])
+def test_alternate_windows_match_torch(window):
+    """Window set parity with the reference's torch_windows table
+    (reference features.py:279-288)."""
+    cfg = MelFeatureConfig(window=window)
+    rng = np.random.RandomState(2)
+    wav = rng.randn(2, 4000).astype(np.float32)
+    n_fft, hop, win = cfg.n_fft_, cfg.hop_length, cfg.win_length
+
+    x = np.pad(wav, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    num_frames = (x.shape[1] - n_fft) // hop + 1
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    ours = x[:, idx] @ stft_basis(n_fft, win, window)
+    n_bins = n_fft // 2 + 1
+    ours_pow = ours[..., :n_bins] ** 2 + ours[..., n_bins:] ** 2
+
+    tw = {"hamming": torch.hamming_window, "blackman": torch.blackman_window,
+          "bartlett": torch.bartlett_window}[window](win, periodic=False)
+    ref = torch.stft(torch.from_numpy(wav), n_fft=n_fft, hop_length=hop,
+                     win_length=win, center=True, window=tw, return_complex=True)
+    ref_pow = (ref.real ** 2 + ref.imag ** 2).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(ours_pow, ref_pow, rtol=1e-4, atol=1e-3)
+
+
+def test_exact_pad_matches_torch_center_false():
+    """exact_pad: (n_fft-hop)//2 reflect pre-pad + center=False stft, and
+    frames == len // hop (reference features.py:267,369-377,385-388)."""
+    cfg = MelFeatureConfig(exact_pad=True, normalize="none", dither=0.0,
+                           preemph=None, pad_to=0)
+    rng = np.random.RandomState(3)
+    wav = rng.randn(1, 16000).astype(np.float32)
+    lens = np.array([16000], dtype=np.int32)
+    n_fft, hop, win = cfg.n_fft_, cfg.hop_length, cfg.win_length
+
+    assert int(np.asarray(mel_seq_len(cfg, lens))[0]) == 16000 // hop
+
+    pad = (n_fft - hop) // 2
+    x = torch.nn.functional.pad(
+        torch.from_numpy(wav).unsqueeze(1), (pad, pad), "reflect").squeeze(1)
+    spec = torch.stft(x, n_fft=n_fft, hop_length=hop, win_length=win,
+                      center=False, window=torch.hann_window(win, periodic=False),
+                      return_complex=True)
+    mag2 = (spec.real ** 2 + spec.imag ** 2).numpy()
+    fb = mel_filterbank(cfg.sample_rate, n_fft, cfg.features)
+    ref = np.log(np.einsum("mk,bkt->bmt", fb, mag2) + cfg.log_guard)
+
+    ours, ours_len = log_mel_spectrogram(cfg, wav, lens, training=False)
+    ours = np.asarray(ours)
+    assert int(np.asarray(ours_len)[0]) == 16000 // hop
+    t = min(ours.shape[-1], ref.shape[-1])
+    np.testing.assert_allclose(ours[..., :t], ref[..., :t], rtol=1e-3, atol=2e-3)
+
+
+def test_log_zero_guard_clamp_and_named_values():
+    wav = np.zeros((1, 4000), dtype=np.float32)  # silence -> zero power
+    lens = np.array([4000], dtype=np.int32)
+    clamp = MelFeatureConfig(log_zero_guard_type="clamp", log_zero_guard_value="eps",
+                             normalize="none", preemph=None, pad_to=0)
+    feats, _ = log_mel_spectrogram(clamp, wav, lens, training=False)
+    np.testing.assert_allclose(
+        np.asarray(feats), np.log(np.finfo(np.float32).eps), rtol=1e-6)
+    tiny = MelFeatureConfig(log_zero_guard_value="tiny", normalize="none",
+                            preemph=None, pad_to=0)
+    feats, _ = log_mel_spectrogram(tiny, wav, lens, training=False)
+    np.testing.assert_allclose(
+        np.asarray(feats), np.log(np.finfo(np.float32).tiny), rtol=1e-6)
+
+
+def test_fixed_mean_and_std_normalization():
+    n_mels = 80
+    mean = tuple(np.linspace(-3, 3, n_mels).tolist())
+    std = tuple(np.linspace(0.5, 2.0, n_mels).tolist())
+    base = MelFeatureConfig(normalize="none", pad_to=0)
+    fixed = MelFeatureConfig(normalize="fixed_mean_and_std",
+                             fixed_mean=mean, fixed_std=std, pad_to=0)
+    rng = np.random.RandomState(4)
+    wav = (rng.randn(2, 8000) * 0.1).astype(np.float32)
+    lens = np.array([8000, 6000], dtype=np.int32)
+    raw, seq = log_mel_spectrogram(base, wav, lens, training=False)
+    out, _ = log_mel_spectrogram(fixed, wav, lens, training=False)
+    ref = (np.asarray(raw) - np.asarray(mean)[None, :, None]) / np.asarray(std)[None, :, None]
+    # beyond-length frames are re-filled with pad_value after normalization
+    valid = np.arange(ref.shape[-1])[None, :] < np.asarray(seq)[:, None]
+    ref = np.where(valid[:, None, :], ref, 0.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_narrowband_augmentation_zeroes_high_bins():
+    """nb_augmentation_prob=1: every FFT bin >= nb_max_freq is zeroed before
+    the mel matmul (reference features.py:410-413)."""
+    import jax
+
+    cfg = MelFeatureConfig(nb_augmentation_prob=1.0, nb_max_freq=4000,
+                           normalize="none", dither=0.0, preemph=None, pad_to=0)
+    rng = np.random.RandomState(5)
+    wav = rng.randn(2, 8000).astype(np.float32)
+    lens = np.array([8000, 8000], dtype=np.int32)
+    out, _ = log_mel_spectrogram(cfg, wav, lens, training=True,
+                                 rng=jax.random.PRNGKey(0))
+    out = np.asarray(out)
+
+    n_fft = cfg.n_fft_
+    nb_bin = int((cfg.nb_max_freq / cfg.sample_rate) * n_fft)
+    fb = mel_filterbank(cfg.sample_rate, n_fft, cfg.features)
+    # mel channels whose support lies entirely at/above the cut see only
+    # zeroed power -> log(guard)
+    hi_only = (fb[:, :nb_bin] == 0).all(axis=1) & (fb.sum(axis=1) > 0)
+    assert hi_only.any()
+    np.testing.assert_allclose(
+        out[:, hi_only, :], np.log(cfg.log_guard), rtol=1e-6)
+    # channels fully below the cut are untouched vs the un-augmented pipeline
+    lo_only = (fb[:, nb_bin:] == 0).all(axis=1)
+    base = MelFeatureConfig(normalize="none", dither=0.0, preemph=None, pad_to=0)
+    ref, _ = log_mel_spectrogram(base, wav, lens, training=False)
+    np.testing.assert_allclose(out[:, lo_only, :], np.asarray(ref)[:, lo_only, :],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pad_to_max():
+    cfg = MelFeatureConfig(pad_to="max", max_duration=2.0)
+    wav = np.zeros((1, 16000), dtype=np.float32)
+    feats, _ = log_mel_spectrogram(cfg, wav, np.array([16000], dtype=np.int32))
+    expected = int(np.floor((2.0 * 16000 + 2 * (512 // 2) - 512) / 160) + 1)
+    assert feats.shape[-1] == expected
