@@ -71,7 +71,7 @@ class ConformerEncoderConfig:
     n_layers: int = 18
     d_model: int = 512
     feat_out: int = -1
-    subsampling: str = "striding"  # striding | stacking | none
+    subsampling: str = "striding"  # striding | vggnet | resnet | subencoder | stacking | none
     subsampling_factor: int = 4
     subsampling_conv_channels: int = -1
     ff_expansion_factor: int = 4

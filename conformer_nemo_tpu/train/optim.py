@@ -1,9 +1,10 @@
 """Optimizer factory (optax).
 
 Parity target: reference `get_optimizer` registry
-(`/root/reference/nemo/core/optim/optimizers.py:161`) — adam/adamw/sgd/
-novograd/adafactor — consumed from `cfg.optim` the way
-`ModelPT.setup_optimization` does (modelPT.py:428).
+(`/root/reference/nemo/core/optim/optimizers.py:32-43,161`) — sgd/adam/adamw/
+adadelta/adamax/adagrad/rmsprop/rprop/novograd/adafactor — consumed from
+`cfg.optim` the way `ModelPT.setup_optimization` does (modelPT.py:428).
+(The apex-only `lamb`/`fused_adam` entries are CUDA-specific and omitted.)
 """
 
 from __future__ import annotations
@@ -34,6 +35,19 @@ def make_optimizer(
         opt = optax.novograd(lr_schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
     elif name == "adafactor":
         opt = optax.adafactor(lr_schedule)
+    elif name == "adadelta":
+        opt = optax.adadelta(lr_schedule, eps=eps)
+    elif name == "adamax":
+        opt = optax.adamax(lr_schedule, b1=betas[0], b2=betas[1], eps=eps)
+    elif name == "adagrad":
+        opt = optax.adagrad(lr_schedule, eps=eps)
+    elif name == "rmsprop":
+        opt = optax.rmsprop(lr_schedule, eps=eps, momentum=momentum)
+    elif name == "rprop":
+        # rprop's lr is an initial per-weight step size, not a schedule
+        # (same semantics as torch.optim.Rprop's lr argument)
+        lr0 = lr_schedule(0) if callable(lr_schedule) else lr_schedule
+        opt = optax.rprop(float(lr0))
     else:
         raise ValueError(f"unknown optimizer {name}")
     if grad_clip and grad_clip > 0:

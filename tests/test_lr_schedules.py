@@ -152,3 +152,24 @@ def test_unsupported_raise():
         make_lr_schedule({"name": "ReduceLROnPlateau"}, BASE)
     with pytest.raises(ValueError):
         make_lr_schedule({"name": "NoSuchSched"}, BASE)
+
+
+def test_optimizer_registry_full_set():
+    """Every optimizer in the reference AVAILABLE_OPTIMIZERS registry
+    (reference optimizers.py:32-43, minus the apex-only CUDA entries) builds
+    and produces a finite update."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from conformer_nemo_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.ones((3, 3))}
+    grads = jax.tree.map(jnp.ones_like, params)
+    for name in ["sgd", "adam", "adamw", "adadelta", "adamax", "adagrad",
+                 "rmsprop", "rprop", "novograd", "adafactor"]:
+        opt = make_optimizer(name, lambda i: 1e-3, grad_clip=1.0)
+        state = opt.init(params)
+        updates, state = opt.update(grads, state, params)
+        new_params = optax.apply_updates(params, updates)
+        assert jnp.isfinite(new_params["w"]).all(), name
