@@ -3,9 +3,10 @@
 Behavioral parity target: reference `perturb.py`
 (`/root/reference/nemo/collections/asr/parts/preprocessing/perturb.py`):
 speed (resample-based), time-stretch, gain, shift, white-noise, noise
-(SNR-targeted mixing from a manifest), impulse (RIR convolution), and the
-`AudioAugmentor` registry applying each perturbation with probability `prob`
-(`process_augmentations:738`).
+(SNR-targeted mixing from a manifest), impulse (RIR convolution),
+rir_noise_aug (RIR + foreground/background noise), transcode_aug (codec
+simulation), and the `AudioAugmentor` registry applying each perturbation
+with probability `prob` (`process_augmentations:738`).
 
 The reference shells out to librosa/sox; here the DSP is scipy/numpy —
 polyphase resampling for speed, FFT convolution for RIR. Audio augmentation
@@ -205,7 +206,14 @@ def _rms_db(x: np.ndarray) -> float:
 
 
 class NoisePerturbation(Perturbation):
-    """SNR-targeted mixing of noise clips from a manifest (perturb.py:377)."""
+    """SNR-targeted mixing of noise clips from a manifest (perturb.py:377).
+
+    Exposes the reference's three mixing entry points: `perturb` (background
+    overlay), `mix_input_noise` (perturb_with_input_noise, perturb.py:439-456)
+    and `mix_foreground_noise` (perturb_with_foreground_noise,
+    perturb.py:460-484) — the latter two are composed by
+    RirAndNoisePerturbation.
+    """
 
     def __init__(self, manifest_path: str, min_snr_db: float = 10,
                  max_snr_db: float = 50, max_gain_db: float = 300.0,
@@ -216,14 +224,24 @@ class NoisePerturbation(Perturbation):
         self.min_snr = min_snr_db
         self.max_snr = max_snr_db
         self.max_gain = max_gain_db
+        self.orig_sr = orig_sr
+
+    def get_one_noise_sample(self, sr: int, rng: random.Random) -> np.ndarray:
+        meta = self.samples_meta[rng.randrange(len(self.samples_meta))]
+        return load_audio(meta.audio_file, target_sr=sr)
 
     def perturb(self, samples, sr, rng):
-        meta = self.samples_meta[rng.randrange(len(self.samples_meta))]
-        noise = load_audio(meta.audio_file, target_sr=sr)
+        noise = self.get_one_noise_sample(sr, rng)
+        return self.mix_input_noise(samples, noise, rng)
+
+    def mix_input_noise(self, samples, noise, rng, data_rms=None):
+        """Background overlay: one SNR-scaled noise segment across the clip."""
         if len(noise) == 0:
             return samples
         snr = rng.uniform(self.min_snr, self.max_snr)
-        gain_db = min(_rms_db(samples) - _rms_db(noise) - snr, self.max_gain)
+        if data_rms is None:
+            data_rms = _rms_db(samples)
+        gain_db = min(data_rms - _rms_db(noise) - snr, self.max_gain)
         noise = noise * (10.0 ** (gain_db / 20.0))
         if len(noise) >= len(samples):
             start = rng.randrange(len(noise) - len(samples) + 1)
@@ -233,11 +251,45 @@ class NoisePerturbation(Perturbation):
         out[start : start + len(noise)] += noise
         return out
 
+    def mix_foreground_noise(self, samples, noise, sr, rng, data_rms=None,
+                             max_noise_dur: float = 2.0, max_additions: int = 1):
+        """Foreground events: 1..max_additions short random noise snippets,
+        all at one SNR-derived gain (perturb.py:460-484)."""
+        if len(noise) == 0:
+            return samples
+        snr = rng.uniform(self.min_snr, self.max_snr)
+        if data_rms is None:
+            data_rms = _rms_db(samples)
+        gain = 10.0 ** (min(data_rms - _rms_db(noise) - snr, self.max_gain) / 20.0)
+        noise_duration = len(noise) / sr
+        out = samples.copy()
+        for _ in range(rng.randint(1, max(max_additions, 1))):
+            noise_dur = rng.uniform(0.0, max_noise_dur)
+            start_time = rng.uniform(0.0, noise_duration)
+            start = int(round(start_time * sr))
+            end = int(round(min(noise_duration, start_time + noise_dur) * sr))
+            snippet = noise[start:end] * gain
+            if len(snippet) > len(out):
+                snippet = snippet[: len(out)]
+            if len(snippet) == 0 or len(out) == len(snippet):
+                idx = 0
+            else:
+                idx = rng.randrange(len(out) - len(snippet))
+            out[idx : idx + len(snippet)] += snippet
+        return out
+
 
 class ImpulsePerturbation(Perturbation):
-    """Room impulse response convolution (perturb.py:275)."""
+    """Room impulse response convolution (perturb.py:275-345).
 
-    def __init__(self, manifest_path: str, shift_impulse: bool = False):
+    Matches the reference's two modes: plain 'same'-mode convolution with the
+    min-max-normalized impulse, or (shift_impulse) convolution with the
+    impulse tail from its peak onward so the response's onset delay is
+    removed (perturb.py:334-344).
+    """
+
+    def __init__(self, manifest_path: str, shift_impulse: bool = False,
+                 audio_tar_filepaths=None, shuffle_n: int = 128):
         from conformer_nemo_tpu.data.manifest import read_manifest
 
         self.samples_meta = read_manifest(manifest_path)
@@ -250,9 +302,130 @@ class ImpulsePerturbation(Perturbation):
         rir = load_audio(meta.audio_file, target_sr=sr)
         if len(rir) == 0:
             return samples
-        rir = rir / (np.abs(rir).max() + 1e-9)
-        out = fftconvolve(samples, rir)[: len(samples)]
+        lo, hi = float(rir.min()), float(rir.max())
+        rir = (rir - lo) / max(hi - lo, 1e-9)
+        if not self.shift_impulse:
+            out = fftconvolve(samples, rir, "same")
+        else:
+            resp = rir[int(np.argmax(np.abs(rir))):]
+            out = fftconvolve(samples, resp, "full")[: -len(resp)]
         return out.astype(np.float32)
+
+
+class RirAndNoisePerturbation(Perturbation):
+    """RIR convolution + foreground and background noise at various SNRs
+    (reference RirAndNoisePerturbation, perturb.py:508-624).
+
+    Noise banks are keyed by the noise files' original sample rate
+    (mixed-sample-rate training); lookups fall back to the highest key, same
+    as the reference (perturb.py:606-614). Our loader resamples on read, so
+    `orig_sample_rate` only selects the bank.
+    """
+
+    def __init__(
+        self,
+        rir_manifest_path=None,
+        rir_prob: float = 0.5,
+        noise_manifest_paths=None,
+        min_snr_db=(0,),
+        max_snr_db=(50,),
+        rir_tar_filepaths=None,
+        rir_shuffle_n: int = 100,
+        noise_tar_filepaths=None,
+        apply_noise_rir: bool = False,
+        orig_sample_rate=None,
+        max_additions: int = 5,
+        max_duration: float = 2.0,
+        bg_noise_manifest_paths=None,
+        bg_min_snr_db=(10,),
+        bg_max_snr_db=(50,),
+        bg_noise_tar_filepaths=None,
+        bg_orig_sample_rate=None,
+    ):
+        self.rir_prob = rir_prob
+        self.apply_noise_rir = apply_noise_rir
+        self.max_additions = max_additions
+        self.max_duration = max_duration
+        self.rir = (
+            ImpulsePerturbation(rir_manifest_path, shift_impulse=True)
+            if rir_manifest_path else None
+        )
+        self.fg: dict[int, NoisePerturbation] = {}
+        self.bg: dict[int, NoisePerturbation] = {}
+        for i, path in enumerate(noise_manifest_paths or []):
+            sr = (orig_sample_rate or [16000] * len(noise_manifest_paths))[i]
+            self.fg[sr] = NoisePerturbation(
+                path, min_snr_db=min_snr_db[i], max_snr_db=max_snr_db[i], orig_sr=sr)
+        for i, path in enumerate(bg_noise_manifest_paths or []):
+            sr = (bg_orig_sample_rate or [16000] * len(bg_noise_manifest_paths))[i]
+            self.bg[sr] = NoisePerturbation(
+                path, min_snr_db=bg_min_snr_db[i], max_snr_db=bg_max_snr_db[i], orig_sr=sr)
+
+    def perturb(self, samples, sr, rng):
+        if self.rir is not None and rng.uniform(0.0, 1.0) < self.rir_prob:
+            samples = self.rir.perturb(samples, sr, rng)
+        data_rms = _rms_db(samples)
+        out = samples
+        if self.fg:
+            fg = self.fg.get(sr, self.fg[max(self.fg)])
+            noise = fg.get_one_noise_sample(sr, rng)
+            if self.apply_noise_rir and self.rir is not None:
+                noise = self.rir.perturb(noise, sr, rng)
+            out = fg.mix_foreground_noise(
+                out, noise, sr, rng, data_rms=data_rms,
+                max_noise_dur=self.max_duration, max_additions=self.max_additions)
+        if self.bg:
+            bg = self.bg.get(sr, self.bg[max(self.bg)])
+            noise = bg.get_one_noise_sample(sr, rng)
+            out = bg.mix_input_noise(out, noise, rng, data_rms=data_rms)
+        return out
+
+
+def _alaw_roundtrip(x: np.ndarray) -> np.ndarray:
+    """G.711 a-law compand -> 8-bit quantize -> expand."""
+    A = 87.6
+    ln_a = 1.0 + np.log(A)
+    ax = np.abs(np.clip(x, -1.0, 1.0))
+    y = np.where(ax < 1.0 / A, A * ax / ln_a, (1.0 + np.log(np.maximum(A * ax, 1e-12))) / ln_a)
+    y = np.sign(x) * y
+    y = np.round(y * 127.0) / 127.0  # 8-bit levels
+    ay = np.abs(y)
+    out = np.where(ay < 1.0 / ln_a, ay * ln_a / A, np.exp(ay * ln_a - 1.0) / A)
+    return (np.sign(y) * out).astype(np.float32)
+
+
+class TranscodePerturbation(Perturbation):
+    """Codec simulation (reference TranscodePerturbation, perturb.py:627-686).
+
+    The reference shells out to sox for g711/amr-nb/ogg. sox is not a
+    dependency here; the g711 chain (resample to 8 kHz, 300-3400 Hz band
+    limit, a-law 8-bit round-trip, resample back) is implemented natively.
+    amr-nb/ogg require their actual codecs and are rejected with a clear
+    error instead of silently approximated.
+    """
+
+    def __init__(self, codecs=None):
+        self.att_factor = 0.8
+        self._codecs = list(codecs) if codecs is not None else ["g711"]
+        for codec in self._codecs:
+            if codec not in ("g711",):
+                raise ValueError(
+                    f"TranscodePerturbation: codec {codec!r} needs an external "
+                    "codec binary (sox) and is not supported; use ['g711']")
+
+    def perturb(self, samples, sr, rng):
+        from scipy.signal import butter, lfilter
+
+        max_level = float(np.max(np.abs(samples))) if len(samples) else 0.0
+        out = samples * (self.att_factor / max_level) if max_level > 0.8 else samples.copy()
+        narrow = resample_poly(out, sr, 8000)
+        b, a = butter(4, [300.0 / 4000.0, 3400.0 / 4000.0], btype="band")
+        narrow = lfilter(b, a, narrow).astype(np.float32)
+        narrow = _alaw_roundtrip(narrow)
+        wide = resample_poly(narrow, 8000, sr)
+        if len(wide) >= len(samples):
+            return wide[: len(samples)].astype(np.float32)
+        return np.pad(wide, (0, len(samples) - len(wide))).astype(np.float32)
 
 
 @dataclasses.dataclass
@@ -289,6 +462,8 @@ _REGISTRY = {
     "white_noise": WhiteNoisePerturbation,
     "noise": NoisePerturbation,
     "impulse": ImpulsePerturbation,
+    "rir_noise_aug": RirAndNoisePerturbation,
+    "transcode_aug": TranscodePerturbation,
 }
 
 

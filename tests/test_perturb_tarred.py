@@ -223,3 +223,89 @@ def test_fit_with_tarred_dataset(tmp_path):
         dtype=jnp.float32)
     out = model.fit()
     assert out["steps"] >= 2
+
+
+def _write_manifest(tmp_path, name, wav, sr=16000):
+    p = str(tmp_path / f"{name}.wav")
+    write_wav(p, wav, sr)
+    man = str(tmp_path / f"{name}.json")
+    with open(man, "w") as f:
+        f.write(json.dumps({"audio_filepath": p, "duration": len(wav) / sr, "text": ""}) + "\n")
+    return man
+
+
+def test_impulse_shift_removes_onset_delay(tmp_path):
+    """shift_impulse mode convolves with the impulse tail from its peak
+    (reference perturb.py:334-344), so a delayed unit impulse leaves the
+    signal nearly unshifted."""
+    sr = 16000
+    rir = np.zeros(800, np.float32)
+    rir[500] = 1.0  # 31 ms onset delay
+    man = _write_manifest(tmp_path, "rir", rir, sr)
+    x = np.zeros(sr, np.float32)
+    x[1000] = 1.0
+
+    from conformer_nemo_tpu.audio.perturb import ImpulsePerturbation
+
+    shifted = ImpulsePerturbation(man, shift_impulse=True).perturb(x, sr, random.Random(0))
+    # min-max normalization maps the zero floor to 0 and the peak to 1; peak
+    # stays at the original sample position (delay removed)
+    assert abs(int(np.argmax(np.abs(shifted))) - 1000) <= 1
+
+    plain = ImpulsePerturbation(man, shift_impulse=False).perturb(x, sr, random.Random(0))
+    assert len(plain) == len(x)  # 'same' mode
+
+
+def test_rir_and_noise_perturbation(tmp_path):
+    sr = 16000
+    rir = np.zeros(64, np.float32)
+    rir[0] = 1.0
+    rir_man = _write_manifest(tmp_path, "rir2", rir, sr)
+    noise = (np.random.RandomState(0).randn(sr) * 0.5).astype(np.float32)
+    fg_man = _write_manifest(tmp_path, "fg", noise, sr)
+    bg_man = _write_manifest(tmp_path, "bg", noise, sr)
+
+    from conformer_nemo_tpu.audio.perturb import RirAndNoisePerturbation
+
+    p = RirAndNoisePerturbation(
+        rir_manifest_path=rir_man, rir_prob=1.0,
+        noise_manifest_paths=[fg_man], min_snr_db=[0], max_snr_db=[0],
+        max_additions=3, max_duration=0.5,
+        bg_noise_manifest_paths=[bg_man], bg_min_snr_db=[10], bg_max_snr_db=[10],
+    )
+    x = (np.random.RandomState(1).randn(sr) * 0.1).astype(np.float32)
+    y = p.perturb(x.copy(), sr, random.Random(0))
+    assert y.shape[0] > 0 and np.isfinite(y).all()
+    assert not np.allclose(y[: len(x) - 1], x[: len(y)][: len(x) - 1])  # noise actually added
+
+    # registry reachable (reference perturbation_types, perturb.py:687-697)
+    aug = process_augmentations({
+        "rir_noise_aug": {"prob": 1.0, "rir_manifest_path": rir_man, "rir_prob": 0.0,
+                          "bg_noise_manifest_paths": [bg_man],
+                          "bg_min_snr_db": [20], "bg_max_snr_db": [20]},
+    })
+    z = aug.perturb(x.copy(), sr)
+    assert np.isfinite(z).all()
+
+
+def test_transcode_g711_bandlimits(tmp_path):
+    """g711 simulation band-limits to 300-3400 Hz: a 6 kHz tone mostly
+    disappears, a 1 kHz tone mostly survives."""
+    from conformer_nemo_tpu.audio.perturb import TranscodePerturbation
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    rng = random.Random(0)
+    p = TranscodePerturbation()
+
+    tone_1k = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    out_1k = p.perturb(tone_1k, sr, rng)
+    assert len(out_1k) == len(tone_1k)
+    assert (out_1k ** 2).mean() > 0.25 * (tone_1k ** 2).mean()
+
+    tone_6k = (0.5 * np.sin(2 * np.pi * 6000 * t)).astype(np.float32)
+    out_6k = p.perturb(tone_6k, sr, rng)
+    assert (out_6k ** 2).mean() < 0.02 * (tone_6k ** 2).mean()
+
+    with pytest.raises(ValueError):
+        TranscodePerturbation(codecs=["amr-nb"])
