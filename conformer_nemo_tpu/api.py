@@ -154,6 +154,7 @@ class _BaseASRModel:
             manifest,
             min_duration=ds_cfg.get("min_duration"),
             max_duration=ds_cfg.get("max_duration"),
+            max_number=ds_cfg.get("max_utts"),  # audio_to_text.py:236 max_utts
         )
         ds = BucketedAudioTextDataset(
             samples, self.tokenizer,

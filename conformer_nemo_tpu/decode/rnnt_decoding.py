@@ -46,6 +46,11 @@ class RNNTDecoding:
                 tsd_max_sym_exp=int(beam_cfg.get("tsd_max_sym_exp", 50)),
                 alsd_max_target_len=beam_cfg.get("alsd_max_target_len", 1.0),
                 return_best_hypothesis=bool(beam_cfg.get("return_best_hypothesis", True)),
+                # maes knobs (reference rnnt_beam_decoding.py:205-215)
+                maes_num_steps=int(beam_cfg.get("maes_num_steps", 2)),
+                maes_expansion_gamma=float(beam_cfg.get("maes_expansion_gamma", 2.3)),
+                maes_expansion_beta=int(beam_cfg.get("maes_expansion_beta", 2)),
+                softmax_temperature=float(beam_cfg.get("softmax_temperature", 1.0)),
             )
 
     def decode(self, enc, enc_lens) -> List[List[int]]:
