@@ -174,9 +174,14 @@ class PredictionNetwork(nn.Module):
         h = jnp.zeros((self.cfg.pred_rnn_layers, batch, self.cfg.pred_hidden), jnp.float32)
         return (h, jnp.zeros_like(h))
 
-    def _cell(self, layer: int, x, h, c):
+    def _cell(self, layer: int, x, h, c, ig=None):
         """Standard LSTM cell, fp32 state, runtime-constant forget-gate bias
-        (gradient-identical reparameterization of the reference's bias init)."""
+        (gradient-identical reparameterization of the reference's bias init).
+
+        `ig` may carry the precomputed input-gate projection x @ wx for this
+        timestep — the full-sequence path hoists that matmul out of the scan
+        (one [B*(U+1), H] x [H, 4H] MXU matmul instead of U+1 small ones).
+        """
         cfg = self.cfg
         dt = cfg.dtype
         def ln(x, p):
@@ -185,7 +190,8 @@ class PredictionNetwork(nn.Module):
             v = ((x - m) ** 2).mean(-1, keepdims=True)
             return (x - m) * jax.lax.rsqrt(v + 1e-5) * p[0] + p[1]
 
-        ig = jnp.dot(x.astype(dt), self.wx[layer].astype(dt)).astype(jnp.float32)
+        if ig is None:
+            ig = jnp.dot(x.astype(dt), self.wx[layer].astype(dt)).astype(jnp.float32)
         hg = jnp.dot(h.astype(dt), self.wh[layer].astype(dt)).astype(jnp.float32)
         if cfg.norm == "layer":
             z = ln(ig, self.ln_i[layer]) + ln(hg, self.ln_h[layer]) + self.b[layer]
@@ -215,12 +221,18 @@ class PredictionNetwork(nn.Module):
                 h0 = jax.random.normal(kh, h0.shape, jnp.float32)
                 c0 = jax.random.normal(kc, c0.shape, jnp.float32)
 
-            def step_fn(carry, x_t, _layer=layer):
+            # hoist the input projection out of the scan: one MXU matmul over
+            # all U+1 steps; the scan body keeps only the recurrent matmul
+            dt = self.cfg.dtype
+            ig_all = jnp.dot(
+                x.astype(dt), self.wx[layer].astype(dt)).astype(jnp.float32)
+
+            def step_fn(carry, ig_t, _layer=layer):
                 h, c = carry
-                h, c = self._cell(_layer, x_t, h, c)
+                h, c = self._cell(_layer, None, h, c, ig=ig_t)
                 return (h, c), h
 
-            _, ys = jax.lax.scan(step_fn, (h0, c0), jnp.swapaxes(x, 0, 1))
+            _, ys = jax.lax.scan(step_fn, (h0, c0), jnp.swapaxes(ig_all, 0, 1))
             x = jnp.swapaxes(ys, 0, 1)  # [B, U+1, H]
             if layer < self.cfg.pred_rnn_layers - 1:
                 # inter-layer dropout only (torch LSTM semantics)
