@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from conformer_nemo_tpu.utils.typecheck import typecheck
+
 LOG_GUARD = 2.0 ** -24  # reference log_zero_guard_value (features.py:216)
 STD_GUARD = 1e-5  # reference CONSTANT added to std (features.py:52,68)
 
@@ -279,6 +281,7 @@ def _framed_dft(x: jnp.ndarray, basis: jnp.ndarray, n_fft: int, hop: int) -> jnp
 
 
 @partial(jax.jit, static_argnames=("cfg", "training"))
+@typecheck(waveform=("B", "T"), lengths=("B",))
 def log_mel_spectrogram(
     cfg: MelFeatureConfig,
     waveform: jnp.ndarray,

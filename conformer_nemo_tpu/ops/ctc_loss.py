@@ -21,6 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from conformer_nemo_tpu.utils.typecheck import typecheck
+
 _NEG_INF = -1e30
 
 
@@ -97,6 +99,8 @@ def ctc_forward_neg_log_likelihood(
     return -ll
 
 
+@typecheck(log_probs=("B", "T", "V"), targets=("B", "U"),
+           input_lengths=("B",), target_lengths=("B",))
 def ctc_loss(
     log_probs: jnp.ndarray,
     targets: jnp.ndarray,

@@ -24,6 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from conformer_nemo_tpu.utils.typecheck import typecheck
+
 _NEG_INF = -1e30
 
 
@@ -321,6 +323,8 @@ rnnt_loss_from_logits.defvjp(
 )
 
 
+@typecheck(logits=("B", "T", "U1", "V"), targets=("B", "U"),
+           t_lens=("B",), u_lens=("B",))
 def rnnt_loss(
     logits,
     targets,

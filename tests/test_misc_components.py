@@ -61,3 +61,58 @@ def test_distributed_single_process():
     st = AppState.current()
     assert st.is_main_process
     assert st.global_device_count == 8  # virtual CPU mesh
+
+
+def test_typecheck_contracts():
+    """Trace-time tensor contracts (reference typecheck/NeuralType analogue,
+    common.py:795): rank, axis-letter consistency, dtype kind; zero device
+    cost (checks run while tracing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from conformer_nemo_tpu.utils.typecheck import (
+        Spec, TypecheckError, check_shapes, typecheck)
+
+    @typecheck(x=("B", "T"), lens=("B",), outputs=(("B", "T"),))
+    def f(x, lens):
+        return x * 2
+
+    out = f(jnp.ones((2, 5)), jnp.ones((2,), jnp.int32))
+    assert out.shape == (2, 5)
+
+    with pytest.raises(TypecheckError):  # rank mismatch
+        f(jnp.ones((2, 5, 1)), jnp.ones((2,), jnp.int32))
+    with pytest.raises(TypecheckError):  # inconsistent 'B'
+        f(jnp.ones((2, 5)), jnp.ones((3,), jnp.int32))
+
+    # under jit: contract enforced at trace time
+    with pytest.raises(TypecheckError):
+        jax.jit(f)(jnp.ones((2, 5)), jnp.ones((3,), jnp.int32))
+    assert jax.jit(f)(jnp.ones((2, 5)), jnp.ones((2,), jnp.int32)).shape == (2, 5)
+
+    # dtype-kind specs + imperative form
+    env = check_shapes(x=(np.ones((4, 3), np.float32), Spec(("B", "D"), dtype=np.floating)))
+    with pytest.raises(TypecheckError):
+        check_shapes(env, y=(np.ones((5,), np.int32), ("B",)))  # B already 4
+    with pytest.raises(TypecheckError):
+        check_shapes(z=(np.ones((2,), np.int32), Spec(("B",), dtype=np.floating)))
+
+    # fixed-int axes
+    @typecheck(x=(2, None))
+    def g(x):
+        return x
+    g(np.zeros((2, 9)))
+    with pytest.raises(TypecheckError):
+        g(np.zeros((3, 9)))
+
+    # the decorated library entry points still work end-to-end
+    from conformer_nemo_tpu.ops.ctc_loss import ctc_loss
+    lp = jax.nn.log_softmax(jnp.zeros((2, 6, 5)), axis=-1)
+    loss = ctc_loss(lp, jnp.zeros((2, 3), jnp.int32), jnp.array([6, 6]),
+                    jnp.array([3, 3]), blank_id=4)
+    assert np.isfinite(float(loss))
+    with pytest.raises(TypecheckError):  # targets batch mismatch
+        ctc_loss(lp, jnp.zeros((3, 3), jnp.int32), jnp.array([6, 6]),
+                 jnp.array([3, 3]), blank_id=4)
