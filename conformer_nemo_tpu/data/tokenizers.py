@@ -333,6 +333,32 @@ class AggregateTokenizer:
         return " ".join(t for t in out if t)
 
 
+class WordTokenizer:
+    """Word-level tokenizer over a newline-separated vocab file (reference
+    `common/tokenizers/word_tokenizer.py:30`): text splits on whitespace,
+    out-of-vocabulary words map to the unk token."""
+
+    def __init__(self, vocab: List[str], unk_token: str = "<unk>"):
+        self.labels = list(vocab)
+        if unk_token not in self.labels:
+            self.labels.append(unk_token)
+        self._map = {w: i for i, w in enumerate(self.labels)}
+        self._unk_id = self._map[unk_token]
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.labels)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [self._map.get(w, self._unk_id) for w in text.strip().split()]
+
+    def ids_to_tokens(self, ids: List[int]) -> List[str]:
+        return [self.labels[i] for i in ids if 0 <= i < len(self.labels)]
+
+    def ids_to_text(self, ids: List[int]) -> str:
+        return " ".join(self.ids_to_tokens(ids))
+
+
 def build_tokenizer(cfg: dict):
     """Tokenizer factory from a reference-shaped config dict.
 
@@ -348,6 +374,11 @@ def build_tokenizer(cfg: dict):
             lang: build_tokenizer(sub_cfg) for lang, sub_cfg in cfg["langs"].items()
         }
         return AggregateTokenizer(subs)
+    if ttype == "word":
+        vf = cfg.get("vocab_file") or os.path.join(cfg["dir"], "vocab.txt")
+        with open(vf, encoding="utf-8") as f:
+            vocab = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        return WordTokenizer(vocab)
     d = cfg["dir"]
     hf_json = os.path.join(d, "tokenizer.json")
     sp_model = os.path.join(d, "tokenizer.model")

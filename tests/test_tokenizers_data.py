@@ -230,3 +230,20 @@ def test_trim_silence():
     assert np.abs(out).max() > 0.4
     # all-silence input stays put (no max frame above threshold)
     assert len(trim_silence(np.zeros(1000, np.float32))) == 1000
+
+
+def test_word_tokenizer(tmp_path):
+    """Word-level tokenizer parity (reference word_tokenizer.py:30): split on
+    whitespace, OOV -> unk."""
+    from conformer_nemo_tpu.data.tokenizers import WordTokenizer, build_tokenizer
+
+    tok = WordTokenizer(["hello", "world"])
+    ids = tok.text_to_ids("hello strange world")
+    assert tok.ids_to_text(ids) == "hello <unk> world"
+    assert tok.vocab_size == 3
+
+    d = tmp_path / "wtok"
+    d.mkdir()
+    (d / "vocab.txt").write_text("hello\nworld\n")
+    tok2 = build_tokenizer({"type": "word", "dir": str(d)})
+    assert tok2.text_to_ids("world hello") == [1, 0]
