@@ -125,6 +125,14 @@ class _BaseASRModel:
     #   _model_feat_dim() -> features count
 
     def _loader(self, manifest, ds_cfg, shuffle, seed=0):
+        # waveform augmentation only on the training loader (reference
+        # process_augmentations consumed from train_ds.augmentor,
+        # audio_to_text_dataset.py:55)
+        augmentor = None
+        if shuffle and ds_cfg.get("augmentor"):
+            from conformer_nemo_tpu.audio.perturb import process_augmentations
+
+            augmentor = process_augmentations(ds_cfg["augmentor"], seed=seed)
         if ds_cfg.get("is_tarred"):
             # tarred/webdataset path (reference get_tarred_dataset,
             # audio_to_text_dataset.py:135: brace-expanded shards partitioned
@@ -144,6 +152,7 @@ class _BaseASRModel:
                 world_size=jax.process_count(),
                 global_rank=jax.process_index(),
                 seed=seed,
+                augmentor=augmentor,
             )
             return TarredBatchIterator(
                 ds, ds_cfg.get("batch_size", 16),
@@ -162,12 +171,14 @@ class _BaseASRModel:
             n_buckets=ds_cfg.get("num_buckets", 8),
             trim_silence=bool(ds_cfg.get("trim_silence", False)),
             use_start_end_token=bool(ds_cfg.get("use_start_end_token", False)),
+            augmentor=augmentor,
         )
         return BucketedLoader(
             ds, ds_cfg.get("batch_size", 16),
             shuffle=shuffle, seed=seed,
             process_index=jax.process_index(), process_count=jax.process_count(),
             bucketing_strategy=ds_cfg.get("bucketing_strategy", "synced_randomized"),
+            num_workers=int(ds_cfg.get("num_workers", 0) or 0),
         )
 
     def fit(

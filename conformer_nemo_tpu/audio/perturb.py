@@ -442,10 +442,15 @@ class AudioAugmentor:
         self._rng = random.Random(seed)
         self._entries = [ _Entry(p, pert) for p, pert in (perturbations or []) ]
 
-    def perturb(self, samples: np.ndarray, sr: int) -> np.ndarray:
+    def perturb(self, samples: np.ndarray, sr: int, rng: Optional[random.Random] = None) -> np.ndarray:
+        """`rng`: optional per-item RNG. Parallel loaders pass a stream derived
+        from (seed, epoch, sample index) so augmentation is deterministic and
+        thread-safe regardless of worker count/scheduling; the shared
+        `self._rng` (reference semantics) remains the single-threaded default."""
+        rng = rng if rng is not None else self._rng
         for e in self._entries:
-            if self._rng.random() <= e.prob:
-                samples = e.perturbation.perturb(samples, sr, self._rng)
+            if rng.random() <= e.prob:
+                samples = e.perturbation.perturb(samples, sr, rng)
         return np.ascontiguousarray(samples, dtype=np.float32)
 
     def max_augmentation_length(self, length: float) -> float:

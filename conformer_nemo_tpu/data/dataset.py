@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import queue
+import random
+import threading
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -70,11 +73,15 @@ class BucketedAudioTextDataset:
         min_token_cap: int = 16,
         trim_silence: bool = False,
         use_start_end_token: bool = False,
+        augmentor=None,
     ):
         self.samples = samples
         self.tokenizer = tokenizer
         self.sample_rate = sample_rate
         self.trim_silence = trim_silence
+        # waveform augmentation (reference _AudioTextDataset applies the
+        # AudioAugmentor inside featurizer.process, audio_to_text.py:275)
+        self.augmentor = augmentor
         # reference AudioToBPEDataset semantics (audio_to_text.py:929-940):
         # wrap token ids with bos/eos when the tokenizer defines them
         self.bos_id = getattr(tokenizer, "bos_id", None) if use_start_end_token else None
@@ -110,12 +117,18 @@ class BucketedAudioTextDataset:
                 ids = ids + [self.eos_id]
         return ids
 
-    def load_item(self, idx: int):
+    def load_item(self, idx: int, rng: Optional[random.Random] = None):
+        """Decode + (optionally) augment + tokenize one sample.
+
+        `rng` seeds augmentation; parallel loaders pass a per-(epoch, idx)
+        stream so results are independent of worker scheduling."""
         s = self.samples[idx]
         audio = load_audio(
             s.audio_file, target_sr=self.sample_rate, offset=s.offset,
             duration=s.duration, trim=self.trim_silence,
         )
+        if self.augmentor is not None:
+            audio = self.augmentor.perturb(audio, self.sample_rate, rng=rng)
         tokens = self.encode_text(s)
         return audio, tokens, s.text
 
@@ -136,11 +149,23 @@ class BucketedLoader:
         bucketing_strategy: str = "synced_randomized",
         pad_id: int = 0,
         bucketing_batch_size=None,
+        num_workers: int = 0,
+        prefetch_batches: int = 2,
     ):
         """bucketing_batch_size: per-bucket batch sizes (reference
         calc_bucketing_batch_sizes, audio_to_text_dataset.py:405): an int
         (scale factor against the longest bucket — shorter buckets get
-        proportionally larger batches) or an explicit list per bucket."""
+        proportionally larger batches) or an explicit list per bucket.
+
+        num_workers: decode/augment parallelism (reference DataLoader
+        `num_workers`, configs/conformer_ctc_bpe.yaml:12). 0 = synchronous
+        in-caller decode. >0 = a ThreadPoolExecutor decodes items while a
+        builder thread collates batches ahead of the consumer, bounded by
+        `prefetch_batches` ready batches. Threads (not processes) because the
+        hot decode paths — native FLAC via ctypes, numpy resample/convolve —
+        release the GIL. Batch ORDER and CONTENT are bit-identical to
+        num_workers=0: the epoch plan and per-item augmentation RNG depend
+        only on (seed, epoch, index), never on scheduling."""
         self.ds = dataset
         self.batch_size = batch_size
         n_buckets = len(dataset.boundaries)
@@ -161,9 +186,14 @@ class BucketedLoader:
         self.process_count = process_count
         self.bucketing_strategy = bucketing_strategy
         self.pad_id = pad_id
+        self.num_workers = int(num_workers or 0)
+        self.prefetch_batches = max(1, int(prefetch_batches))
         self.epoch = 0
 
-    def __iter__(self) -> Iterator[Batch]:
+    def _plan(self) -> list[tuple[int, list[int]]]:
+        """The epoch's batch plan: (bucket, sample indices) in emission order.
+        Pure function of (seed, epoch, strategy) — shared by both the serial
+        and the worker paths so parallelism cannot change what is emitted."""
         rng = np.random.RandomState(
             self.seed if self.bucketing_strategy == "synced_randomized" else self.seed + self.epoch
         )
@@ -186,12 +216,100 @@ class BucketedLoader:
                 batches.append((b, idxs))
         if self.shuffle:
             rng.shuffle(batches)
+        return batches
 
-        for b, idxs in batches:
-            yield self._collate(b, idxs)
+    def _item_rng(self, idx: int) -> random.Random:
+        """Per-item augmentation stream: a function of (seed, epoch, idx)
+        only, so augmented waveforms are identical under any worker count."""
+        return random.Random((self.seed * 1000003 + self.epoch) * 1000003 + idx)
+
+    def __iter__(self) -> Iterator[Batch]:
+        batches = self._plan()
+        if self.num_workers > 0:
+            yield from self._iter_workers(batches)
+        else:
+            for b, idxs in batches:
+                items = [self.ds.load_item(i, rng=self._item_rng(i)) for i in idxs]
+                yield self._collate(b, idxs, items)
         self.epoch += 1
 
-    def _collate(self, bucket: int, idxs: List[int]) -> Batch:
+    def _iter_workers(self, batches) -> Iterator[Batch]:
+        """Decode items on a thread pool; collate on a builder thread; hand
+        finished batches to the consumer through a bounded queue.
+
+        Pipeline (TPU-host shape of the reference's torch DataLoader
+        `num_workers`/`pin_memory` stage): at most `prefetch_batches` batches
+        sit collated in the queue while `prefetch_batches + 1` batches' items
+        are in flight on the pool, so host decode for batch N+1..N+k overlaps
+        the device step for batch N (which data/prefetch.py has already
+        shipped). Consumer-side `close()` (e.g. max_steps break) sets a stop
+        event; the builder drains and exits rather than leaking the epoch."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        out: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def build():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    inflight = []
+                    plan_it = iter(batches)
+
+                    def submit_next():
+                        b, idxs = next(plan_it)
+                        futs = [
+                            pool.submit(self.ds.load_item, i, rng=self._item_rng(i))
+                            for i in idxs
+                        ]
+                        inflight.append((b, idxs, futs))
+
+                    for _ in range(self.prefetch_batches + 1):
+                        try:
+                            submit_next()
+                        except StopIteration:
+                            break
+                    while inflight and not stop.is_set():
+                        b, idxs, futs = inflight.pop(0)
+                        batch = self._collate(b, idxs, [f.result() for f in futs])
+                        while not stop.is_set():
+                            try:
+                                out.put(("batch", batch), timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        try:
+                            submit_next()
+                        except StopIteration:
+                            pass
+            except BaseException as e:  # surface worker errors in the consumer
+                try:
+                    out.put(("error", e), timeout=1.0)
+                except queue.Full:
+                    pass
+                return
+            while not stop.is_set():
+                try:
+                    out.put(("done", None), timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+        builder = threading.Thread(target=build, name="bucketed-loader", daemon=True)
+        builder.start()
+        try:
+            while True:
+                kind, payload = out.get()
+                if kind == "batch":
+                    yield payload
+                elif kind == "error":
+                    raise payload
+                else:
+                    break
+        finally:
+            stop.set()
+            builder.join(timeout=5.0)
+
+    def _collate(self, bucket: int, idxs: List[int], items) -> Batch:
         t_cap = self.ds.boundaries[bucket]
         u_cap = self.ds.token_caps[bucket]
         bsz = self.bucket_batch[bucket]  # pad batch dim too: static shapes
@@ -200,8 +318,7 @@ class BucketedLoader:
         tokens = np.full((bsz, u_cap), self.pad_id, dtype=np.int32)
         token_lens = np.zeros((bsz,), dtype=np.int32)
         texts: List[str] = []
-        for row, idx in enumerate(idxs):
-            wav, toks, text = self.ds.load_item(idx)
+        for row, (wav, toks, text) in enumerate(items):
             n = min(len(wav), t_cap)
             audio[row, :n] = wav[:n]
             audio_lens[row] = n
