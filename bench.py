@@ -1,15 +1,24 @@
-"""Benchmark: Conformer-CTC large training throughput on one TPU chip.
+"""Benchmark suite on one TPU chip. Prints ONE JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric (unchanged across rounds for comparability):
+`ctc_large_train_throughput` — audio-seconds/s in Conformer-CTC-large
+training (fwd+bwd+optimizer, bf16) with a device-resident batch. Baseline
+anchor: ~400 audio-s/s/GPU for the reference stack (NeMo 1.8 Conformer-CTC
+large on A100 DDP; BASELINE.md publishes no numbers).
 
-Metric: audio-seconds of speech processed per wall-clock second per chip in
-training (fwd+bwd+optimizer, bf16 compute). Baseline reference point: the
-reference stack (NeMo 1.8 Conformer-CTC large, A100 DDP) sustains roughly
-400 audio-s/s/GPU — the repo publishes no numbers (BASELINE.md), so this
-external estimate anchors vs_baseline.
+Additional fields in the same JSON object:
+- `e2e_train`        — the SAME train step fed end-to-end from on-disk FLAC
+                       through manifest -> BucketedLoader(num_workers) ->
+                       device_prefetch. The framework number, not the kernel
+                       number: includes host decode, collate, H2D.
+- `rnnt_train`       — RNN-T large train throughput (audio_s/s).
+- `ctc_decode`/`rnnt_decode` — eval-mode encoder+greedy throughput.
+- `selftest`         — on-chip kernel parity (Pallas CTC/RNN-T vs scan,
+                       flash vs dense attention), "ok" or "fail: ...".
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,15 +32,280 @@ WARMUP = 3
 ITERS = 20
 
 
-def main():
-    import os
+def _sync(metrics):
+    return float(metrics["loss"])  # value fetch: block_until_ready does not
+    # truly synchronize through the axon tunnel; fetching a scalar does.
 
+
+def bench_ctc_train(jax, jnp, cfg, state, step):
+    t_samples = int(SECONDS * SR)
+    rng = np.random.RandomState(0)
+    # device-resident batch: isolates the device step (loader measured by e2e)
+    batch = jax.tree.map(jnp.asarray, {
+        "audio": (rng.randn(BATCH, t_samples) * 0.1).astype(np.float32),
+        "audio_lens": np.full((BATCH,), t_samples, np.int32),
+        "tokens": rng.randint(0, cfg.num_classes, size=(BATCH, 128)).astype(np.int32),
+        "token_lens": np.full((BATCH,), 128, np.int32),
+    })
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch)
+    _sync(metrics)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch)
+    _sync(metrics)
+    dt = time.perf_counter() - t0
+    return BATCH * SECONDS * ITERS / dt, state
+
+
+def _make_flac_corpus(root, n_utts=48, seconds=SECONDS):
+    """Speech-like FLAC corpus + manifest on tmpfs-backed storage."""
+    from conformer_nemo_tpu.data.flac_encode import write_flac
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(0)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    mpath = os.path.join(root, "manifest.json")
+    n = int(seconds * SR)
+    with open(mpath, "w") as f:
+        for i in range(n_utts):
+            # mid-band energy + noise floor: Rice parameters land ~8-10,
+            # i.e. real decode work (not a trivially-compressible ramp)
+            brown = np.cumsum(rng.randn(n)).astype(np.float32)
+            brown /= max(1e-6, np.abs(brown).max())
+            wav = 0.5 * brown + 0.03 * rng.randn(n).astype(np.float32)
+            wav = np.clip(wav, -0.99, 0.99)
+            p = os.path.join(root, f"utt{i}.flac")
+            write_flac(p, wav, SR)
+            text = "".join(rng.choice(list(letters), size=100))
+            f.write(json.dumps(
+                {"audio_filepath": p, "duration": seconds, "text": text}) + "\n")
+    return mpath
+
+
+def bench_e2e_train(jax, state, step):
+    """On-disk FLAC -> BucketedLoader(workers, pcm16) -> prefetch -> step."""
+    import shutil
+    import tempfile
+
+    from conformer_nemo_tpu.data.dataset import BucketedAudioTextDataset, BucketedLoader
+    from conformer_nemo_tpu.data.manifest import read_manifest
+    from conformer_nemo_tpu.data.prefetch import device_prefetch
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    root = os.path.join(base, "cntpu_bench_corpus")
+    try:
+        mpath = _make_flac_corpus(root)
+        tok = CharTokenizer(list("abcdefghijklmnopqrstuvwxyz "))
+        ds = BucketedAudioTextDataset(
+            read_manifest(mpath), tok, n_buckets=1, token_cap_per_sec=8.5
+        )
+        loader = BucketedLoader(
+            ds, BATCH, shuffle=True, seed=0, drop_last=True,
+            bucketing_strategy="fully_randomized",
+            num_workers=max(2, (os.cpu_count() or 2)), pcm16=True,
+        )
+
+        def epochs():
+            while True:
+                for b in loader:
+                    yield {"audio": b.audio, "audio_lens": b.audio_lens,
+                           "tokens": b.tokens, "token_lens": b.token_lens}
+
+        batches = device_prefetch(epochs(), depth=2)
+        for _ in range(WARMUP):
+            state, metrics = step(state, next(batches))
+        _sync(metrics)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, metrics = step(state, next(batches))
+        _sync(metrics)
+        dt = time.perf_counter() - t0
+        batches.close()
+        return BATCH * SECONDS * ITERS / dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_rnnt_train(jax, jnp):
+    from conformer_nemo_tpu.models.conformer import ConformerEncoderConfig
+    from conformer_nemo_tpu.models.rnnt import (
+        RNNTDecoderConfig, RNNTJointConfig, RNNTModelConfig)
+    from conformer_nemo_tpu.train.lr_schedule import make_lr_schedule
+    from conformer_nemo_tpu.train.optim import make_optimizer
+    from conformer_nemo_tpu.train.rnnt_trainer import (
+        RNNTTrainConfig, init_rnnt_state, make_rnnt_train_step)
+
+    b, u = 8, 96
+    enc = ConformerEncoderConfig(feat_in=80, n_layers=17, d_model=512, n_heads=8,
+                                 conv_norm_type="batch_norm", dtype=jnp.bfloat16)
+    mcfg = RNNTModelConfig(
+        encoder=enc,
+        decoder=RNNTDecoderConfig(vocab_size=1024, pred_hidden=640, pred_rnn_layers=1),
+        joint=RNNTJointConfig(joint_hidden=640, fused_batch_size=4),
+    )
+    cfg = RNNTTrainConfig(model=mcfg)
+    sched = make_lr_schedule({"name": "NoamAnnealing", "d_model": 512, "warmup_steps": 10000}, 2.0)
+    opt = make_optimizer("adamw", sched, weight_decay=1e-3, grad_clip=1.0)
+    state = init_rnnt_state(cfg, opt, jax.random.PRNGKey(0))
+    step = make_rnnt_train_step(cfg, opt)
+    t_samples = int(SECONDS * SR)
+    rng = np.random.RandomState(0)
+    batch = jax.tree.map(jnp.asarray, {
+        "audio": (rng.randn(b, t_samples) * 0.1).astype(np.float32),
+        "audio_lens": np.full((b,), t_samples, np.int32),
+        "tokens": rng.randint(0, 1024, size=(b, u)).astype(np.int32),
+        "token_lens": np.full((b,), u, np.int32),
+    })
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch)
+    _sync(metrics)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch)
+    _sync(metrics)
+    dt = time.perf_counter() - t0
+    return b * SECONDS * ITERS / dt, (cfg, state)
+
+
+def bench_ctc_decode(jax, jnp, cfg, state):
+    import functools
+
+    from conformer_nemo_tpu.train.trainer import make_ctc_eval_step
+
+    eval_step = make_ctc_eval_step(cfg)
+    t_samples = int(SECONDS * SR)
+    rng = np.random.RandomState(0)
+    batch = jax.tree.map(jnp.asarray, {
+        "audio": (rng.randn(BATCH, t_samples) * 0.1).astype(np.float32),
+        "audio_lens": np.full((BATCH,), t_samples, np.int32),
+        "tokens": rng.randint(0, cfg.num_classes, size=(BATCH, 128)).astype(np.int32),
+        "token_lens": np.full((BATCH,), 128, np.int32),
+    })
+    loss, preds, _ = eval_step(state, batch)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        loss, preds, _ = eval_step(state, batch)
+    float(loss)
+    dt = time.perf_counter() - t0
+    return BATCH * SECONDS * ITERS / dt
+
+
+def bench_rnnt_decode(jax, jnp, rnnt_cfg, rnnt_state):
+    from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+    from conformer_nemo_tpu.decode.rnnt_greedy import rnnt_greedy_decode_batched
+    from conformer_nemo_tpu.models.rnnt import RNNTModel
+
+    mcfg = rnnt_cfg.model
+    model = RNNTModel(mcfg)
+    variables = {"params": rnnt_state.params}
+    if getattr(rnnt_state, "batch_stats", None):
+        variables["batch_stats"] = rnnt_state.batch_stats
+
+    @jax.jit
+    def decode(batch):
+        feats, feat_lens = log_mel_spectrogram(
+            rnnt_cfg.preprocessor, batch["audio"], batch["audio_lens"], training=False)
+        enc, enc_lens = model.apply(
+            variables, feats, feat_lens, train=False, method=RNNTModel.encode)
+        toks, lens = rnnt_greedy_decode_batched(
+            model, variables, enc, enc_lens, max_symbols=10, max_tokens=256)
+        return lens
+
+    t_samples = int(SECONDS * SR)
+    rng = np.random.RandomState(0)
+    batch = jax.tree.map(jnp.asarray, {
+        "audio": (rng.randn(BATCH, t_samples) * 0.1).astype(np.float32),
+        "audio_lens": np.full((BATCH,), t_samples, np.int32),
+    })
+    int(decode(batch).sum())
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        lens = decode(batch)
+    int(lens.sum())
+    dt = time.perf_counter() - t0
+    return BATCH * SECONDS * ITERS / dt
+
+
+def selftest(jax, jnp):
+    """On-chip kernel parity: guards silent Pallas regressions each round."""
+    if jax.default_backend() != "tpu":
+        return "skipped (backend=%s)" % jax.default_backend()
+    checks = []
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(np.max(np.abs(a - b) / (np.abs(b) + 1e-6)))
+
+    # CTC Pallas vs scan (fwd + grad)
+    from conformer_nemo_tpu.ops.ctc_loss import ctc_forward_neg_log_likelihood
+    from conformer_nemo_tpu.ops.pallas.ctc_kernel import ctc_loss_pallas
+
+    rng = np.random.RandomState(0)
+    b, t, v, s = 4, 64, 32, 16
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(b, t, v), jnp.float32))
+    tgt = jnp.asarray(rng.randint(1, v, size=(b, s)), jnp.int32)
+    tl = jnp.asarray([t, t - 5, t - 9, t // 2], jnp.int32)
+    ul = jnp.asarray([s, s - 3, s - 7, 5], jnp.int32)
+
+    f_scan = jax.jit(jax.value_and_grad(
+        lambda x: ctc_forward_neg_log_likelihood(x, tgt, tl, ul, 0).sum()))
+    f_pal = jax.jit(jax.value_and_grad(
+        lambda x: ctc_loss_pallas(x, tgt, tl, ul, 0).sum()))
+    (v1, g1), (v2, g2) = f_scan(lp), f_pal(lp)
+    e = max(rel(v2, v1), rel(g2, g1))
+    checks.append(("ctc_pallas", e, 1e-4))
+
+    # RNN-T Pallas vs scan (fwd + grad)
+    from conformer_nemo_tpu.ops.rnnt_loss import rnnt_loss_from_logits
+
+    b, t, u, v = 2, 16, 8, 16
+    logits = jnp.asarray(rng.randn(b, t, u + 1, v), jnp.float32)
+    tgt = jnp.asarray(rng.randint(1, v, size=(b, u)), jnp.int32)
+    tl = jnp.asarray([t, t - 3], jnp.int32)
+    ul = jnp.asarray([u, u - 2], jnp.int32)
+
+    def make(impl):
+        return jax.jit(jax.value_and_grad(
+            lambda x: rnnt_loss_from_logits(x, tgt, tl, ul, 0, impl=impl).sum()))
+
+    (v1, g1), (v2, g2) = make("scan")(logits), make("pallas")(logits)
+    e = max(rel(v2, v1), rel(g2, g1))
+    checks.append(("rnnt_pallas", e, 1e-4))
+
+    # flash attention vs dense at one long-form shape
+    from conformer_nemo_tpu.ops.pallas.flash_attention import flash_attention
+
+    bh, t, d = 4, 1024, 64
+    q = jnp.asarray(rng.randn(bh, t, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bh, t, d), jnp.float32)
+    vv = jnp.asarray(rng.randn(bh, t, d), jnp.float32)
+    lens = jnp.asarray([t, t - 100, t // 2, 17], jnp.int32)
+
+    @jax.jit
+    def dense(q, k, vv):
+        logits = jnp.einsum("bqd,bkd->bqk", q, k)
+        mask = jnp.arange(t)[None, None, :] < lens[:, None, None]
+        logits = jnp.where(mask, logits, -1e30)
+        return jax.nn.softmax(logits, axis=-1) @ vv
+
+    o1 = np.asarray(jax.jit(flash_attention)(q, k, vv, lens))
+    o2 = np.asarray(dense(q, k, vv))
+    valid = np.asarray(lens)
+    errs = [np.max(np.abs(o1[i, : 1024] - o2[i, : 1024])) for i in range(bh)]
+    checks.append(("flash_attention", float(max(errs)), 5e-3))
+
+    bad = [f"{name} err={err:.2e} > {tol}" for name, err, tol in checks if not (err < tol)]
+    return "ok" if not bad else "fail: " + "; ".join(bad)
+
+
+def main():
+    jax_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
+    jax.config.update("jax_compilation_cache_dir", jax_cache)
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_cfg
@@ -45,42 +319,36 @@ def main():
     )
     opt = make_optimizer("adamw", sched, weight_decay=1e-3, grad_clip=1.0)
     state = init_ctc_state(cfg, opt, jax.random.PRNGKey(0), example_feat_shape=(1, 80, 128))
-
     step = make_ctc_train_step(cfg, opt)
-    t_samples = int(SECONDS * SR)
-    rng = np.random.RandomState(0)
-    # device-resident batch: in training the loader prefetches batches to the
-    # device asynchronously (data/prefetch.py), so steady-state step time does
-    # not include the H2D copy.
-    batch = jax.tree.map(jnp.asarray, {
-        "audio": (rng.randn(BATCH, t_samples) * 0.1).astype(np.float32),
-        "audio_lens": np.full((BATCH,), t_samples, np.int32),
-        "tokens": rng.randint(0, cfg.num_classes, size=(BATCH, 128)).astype(np.int32),
-        "token_lens": np.full((BATCH,), 128, np.int32),
-    })
 
-    for _ in range(WARMUP):
-        state, metrics = step(state, batch)
-    float(metrics["loss"])  # value fetch: block_until_ready does not truly
-    # synchronize through the axon tunnel; fetching a scalar does.
+    out = {}
+    primary, state = bench_ctc_train(jax, jnp, cfg, state, step)
+    out["metric"] = "ctc_large_train_throughput"
+    out["value"] = round(primary, 2)
+    out["unit"] = "audio_s/s/chip"
+    out["vs_baseline"] = round(primary / BASELINE_AUDIO_S_PER_S, 3)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, batch)
-    float(metrics["loss"])  # forces the whole dependency chain
-    dt = time.perf_counter() - t0
+    for name, fn in [
+        ("e2e_train", lambda: bench_e2e_train(jax, state, step)),
+        ("ctc_decode", lambda: bench_ctc_decode(jax, jnp, cfg, state)),
+        ("selftest", lambda: selftest(jax, jnp)),
+    ]:
+        try:
+            r = fn()
+            out[name] = round(r, 2) if isinstance(r, float) else r
+        except Exception as e:  # never lose the primary metric
+            out[name] = f"error: {type(e).__name__}: {e}"[:200]
+    try:
+        rnnt_tp, (rnnt_cfg, rnnt_state) = bench_rnnt_train(jax, jnp)
+        out["rnnt_train"] = round(rnnt_tp, 2)
+        try:
+            out["rnnt_decode"] = round(bench_rnnt_decode(jax, jnp, rnnt_cfg, rnnt_state), 2)
+        except Exception as e:
+            out["rnnt_decode"] = f"error: {type(e).__name__}: {e}"[:200]
+    except Exception as e:
+        out["rnnt_train"] = f"error: {type(e).__name__}: {e}"[:200]
 
-    audio_s_per_s = BATCH * SECONDS * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "ctc_large_train_throughput",
-                "value": round(audio_s_per_s, 2),
-                "unit": "audio_s/s/chip",
-                "vs_baseline": round(audio_s_per_s / BASELINE_AUDIO_S_PER_S, 3),
-            }
-        )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

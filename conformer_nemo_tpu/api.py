@@ -334,7 +334,12 @@ class _BaseASRModel:
         return out
 
     def save_portable(self, path: str, artifacts: Optional[dict] = None):
-        save_portable(path, self.raw_cfg, self.state.params, artifacts)
+        # combined variables dict: batch_norm running stats must travel with
+        # the params or a restored model evaluates with zero-init stats
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        save_portable(path, self.raw_cfg, variables, artifacts)
 
     def export(self, path: str, batch_size: int = 8, seconds: float = 15.0,
                platforms: Optional[Sequence[str]] = None) -> str:
@@ -359,7 +364,7 @@ class _BaseASRModel:
 
 def _restore_portable_impl(cls, path: str, dtype):
     """Shared portable-archive restore for both model classes."""
-    config, params, artifacts = load_portable(path)
+    config, restored, artifacts = load_portable(path)
     m = config["model"]
     if "labels" in m and m.get("labels"):
         tokenizer = CharTokenizer(
@@ -368,13 +373,29 @@ def _restore_portable_impl(cls, path: str, dtype):
         from conformer_nemo_tpu.data.tokenizers import HFTokenizer
 
         tokenizer = HFTokenizer(artifacts["tokenizer"])
+    elif artifacts and m.get("tokenizer"):
+        # archive carries tokenizer files (e.g. a converted .nemo's
+        # tokenizer.model); rebuild from the extraction dir
+        from conformer_nemo_tpu.data.tokenizers import build_tokenizer
+
+        tdir = os.path.dirname(next(iter(artifacts.values())))
+        tcfg = {k: v for k, v in m["tokenizer"].items() if k != "dir"}
+        tokenizer = build_tokenizer({**tcfg, "dir": tdir})
     else:
         raise ValueError("no tokenizer artifact in portable archive")
     model = cls(config, tokenizer, dtype=dtype)
     state = model._init_state(model._make_optimizer())
     from flax import serialization
 
-    params = serialization.from_state_dict(state.params, params)
+    if isinstance(restored, dict) and "params" in restored:
+        # combined {'params', 'batch_stats'} archive (current format)
+        params = serialization.from_state_dict(state.params, restored["params"])
+        stats = restored.get("batch_stats")
+        if stats is not None and state.batch_stats:
+            stats = serialization.from_state_dict(state.batch_stats, stats)
+            state = state.replace(batch_stats=stats)
+    else:  # legacy params-only archive
+        params = serialization.from_state_dict(state.params, restored)
     model.state = state.replace(params=params)
     return model
 
@@ -1023,4 +1044,9 @@ class ConformerTransducer(_BaseASRModel):
         return dec.decode_to_text(enc, enc_lens)
 
     def save_portable(self, path: str, artifacts: Optional[dict] = None):
-        save_portable(path, self.raw_cfg, self.state.params, artifacts)
+        # combined variables dict: batch_norm running stats must travel with
+        # the params or a restored model evaluates with zero-init stats
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        save_portable(path, self.raw_cfg, variables, artifacts)

@@ -297,6 +297,11 @@ def log_mel_spectrogram(
     """
     n_fft, hop = cfg.n_fft_, cfg.hop_length
     x = waveform.astype(jnp.float32)
+    if waveform.dtype == jnp.int16:
+        # PCM16 batches: loaders may ship int16 to halve H2D traffic (the
+        # host->device copy is the training pipeline's bandwidth bottleneck);
+        # dequantize on device to the same [-1, 1) scale load_audio uses.
+        x = x * (1.0 / 32768.0)
     seq_len = mel_seq_len(cfg, lengths)
 
     needs_nb = training and 0.0 < cfg.nb_augmentation_prob and cfg.nb_max_freq < cfg.sample_rate / 2

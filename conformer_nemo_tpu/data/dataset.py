@@ -151,6 +151,7 @@ class BucketedLoader:
         bucketing_batch_size=None,
         num_workers: int = 0,
         prefetch_batches: int = 2,
+        pcm16: bool = False,
     ):
         """bucketing_batch_size: per-bucket batch sizes (reference
         calc_bucketing_batch_sizes, audio_to_text_dataset.py:405): an int
@@ -188,6 +189,10 @@ class BucketedLoader:
         self.pad_id = pad_id
         self.num_workers = int(num_workers or 0)
         self.prefetch_batches = max(1, int(prefetch_batches))
+        # pcm16: emit audio as int16 (device dequantizes in the mel frontend,
+        # audio/features.py) — halves host->device bytes, which is the
+        # pipeline bottleneck on bandwidth-limited hosts.
+        self.pcm16 = bool(pcm16)
         self.epoch = 0
 
     def _plan(self) -> list[tuple[int, list[int]]]:
@@ -313,14 +318,17 @@ class BucketedLoader:
         t_cap = self.ds.boundaries[bucket]
         u_cap = self.ds.token_caps[bucket]
         bsz = self.bucket_batch[bucket]  # pad batch dim too: static shapes
-        audio = np.zeros((bsz, t_cap), dtype=np.float32)
+        audio = np.zeros((bsz, t_cap), dtype=np.int16 if self.pcm16 else np.float32)
         audio_lens = np.zeros((bsz,), dtype=np.int32)
         tokens = np.full((bsz, u_cap), self.pad_id, dtype=np.int32)
         token_lens = np.zeros((bsz,), dtype=np.int32)
         texts: List[str] = []
         for row, (wav, toks, text) in enumerate(items):
             n = min(len(wav), t_cap)
-            audio[row, :n] = wav[:n]
+            if self.pcm16:
+                audio[row, :n] = np.clip(wav[:n] * 32768.0, -32768, 32767).astype(np.int16)
+            else:
+                audio[row, :n] = wav[:n]
             audio_lens[row] = n
             toks = (toks or [])[:u_cap]
             tokens[row, : len(toks)] = toks
