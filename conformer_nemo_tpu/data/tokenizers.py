@@ -142,9 +142,23 @@ def load_sentencepiece_vocab(model_path: str):
     ModelProto field 1 = repeated SentencePiece{piece=1:str, score=2:float,
     type=3:enum} (types: 1=NORMAL, 2=UNK, 3=CONTROL, 4=USER_DEFINED, 6=BYTE).
     """
+    return load_sentencepiece_model(model_path)[0]
+
+
+def load_sentencepiece_model(model_path: str):
+    """Full ModelProto parse -> (pieces, trainer_spec, normalizer_spec).
+
+    Field numbers per sentencepiece_model.proto: ModelProto{pieces=1,
+    trainer_spec=2, normalizer_spec=3}; TrainerSpec{model_type=3 (1=unigram,
+    2=bpe, 3=word, 4=char), byte_fallback=35}; NormalizerSpec{name=1,
+    add_dummy_prefix=3, remove_extra_whitespaces=4, escape_whitespaces=5}.
+    """
     with open(model_path, "rb") as f:
         data = f.read()
     pieces = []
+    trainer = {"model_type": 1, "byte_fallback": False}
+    norm = {"name": "nmt_nfkc", "add_dummy_prefix": True,
+            "remove_extra_whitespaces": True, "escape_whitespaces": True}
     for field, wire, val in _parse_protobuf_fields(data):
         if field == 1 and wire == 2:
             piece, score, ptype = None, 0.0, 1
@@ -157,26 +171,55 @@ def load_sentencepiece_vocab(model_path: str):
                     ptype = v2
             if piece is not None:
                 pieces.append((piece, score, ptype))
-    return pieces
+        elif field == 2 and wire == 2:  # TrainerSpec
+            for f2, w2, v2 in _parse_protobuf_fields(val):
+                if f2 == 3 and w2 == 0:
+                    trainer["model_type"] = v2
+                elif f2 == 35 and w2 == 0:
+                    trainer["byte_fallback"] = bool(v2)
+        elif field == 3 and wire == 2:  # NormalizerSpec
+            for f2, w2, v2 in _parse_protobuf_fields(val):
+                if f2 == 1 and w2 == 2:
+                    norm["name"] = v2.decode("utf-8")
+                elif f2 == 3 and w2 == 0:
+                    norm["add_dummy_prefix"] = bool(v2)
+                elif f2 == 4 and w2 == 0:
+                    norm["remove_extra_whitespaces"] = bool(v2)
+                elif f2 == 5 and w2 == 0:
+                    norm["escape_whitespaces"] = bool(v2)
+    return pieces, trainer, norm
 
 
 _SP_SPACE = "▁"  # SentencePiece meta-space
 
 
 class SentencePieceTokenizer:
-    """Inference-only tokenizer over a SentencePiece BPE model file.
+    """Inference-only tokenizer over a SentencePiece model file.
 
-    Encoding is Viterbi segmentation over the piece vocabulary maximizing the
-    summed piece scores — equivalent to unigram decoding and a close match for
-    BPE models (whose scores encode merge order); exact round-trip decode.
+    Parity target: the `sentencepiece` C++ library the reference wraps
+    (`sentencepiece_tokenizer.py:1-378`), re-implemented from the model file:
+      * BPE models (TrainerSpec.model_type=2): exact merge-order encoding —
+        repeatedly merge the adjacent pair whose merged piece has the highest
+        score, ties broken by left position (bpe_model.cc agenda semantics).
+      * unigram models: Viterbi segmentation maximizing summed piece scores
+        (unigram_model.cc).
+    Normalization follows NormalizerSpec: optional NFKC, extra-whitespace
+    removal, dummy prefix, meta-space escaping. Exact round-trip decode.
     """
 
     def __init__(self, model_path: str):
-        raw = load_sentencepiece_vocab(model_path)
+        raw, trainer, norm = load_sentencepiece_model(model_path)
         self.pieces = [p for p, _, _ in raw]
         self.scores = [s for _, s, _ in raw]
         self.types = [t for _, _, t in raw]
-        self._piece_to_id = {p: i for i, p in enumerate(self.pieces)}
+        self.model_type = int(trainer.get("model_type", 1))
+        self.byte_fallback = bool(trainer.get("byte_fallback", False))
+        self.norm = norm
+        # CONTROL(3)/UNK(2) pieces never match text (bpe_model.cc skips them)
+        self._piece_to_id = {
+            p: i for i, (p, t) in enumerate(zip(self.pieces, self.types))
+            if t not in (2, 3)
+        }
         self.unk_id = next((i for i, t in enumerate(self.types) if t == 2), 0)
         self._max_piece_len = max((len(p) for p in self.pieces), default=1)
 
@@ -188,8 +231,85 @@ class SentencePieceTokenizer:
     def vocab(self) -> List[str]:
         return list(self.pieces)
 
+    def _normalize(self, text: str) -> str:
+        if "nfkc" in (self.norm.get("name") or ""):
+            import unicodedata
+
+            text = unicodedata.normalize("NFKC", text)
+        if self.norm.get("remove_extra_whitespaces", True):
+            text = " ".join(text.split())
+        if self.norm.get("add_dummy_prefix", True):
+            text = " " + text
+        if self.norm.get("escape_whitespaces", True):
+            text = text.replace(" ", _SP_SPACE)
+        return text
+
+    def _char_ids(self, ch: str) -> List[int]:
+        """OOV character -> byte pieces (byte_fallback) or unk."""
+        if self.byte_fallback:
+            out = []
+            for b in ch.encode("utf-8"):
+                bid = self._piece_to_id.get("<0x%02X>" % b)
+                out.append(bid if bid is not None else self.unk_id)
+            return out
+        return [self.unk_id]
+
     def text_to_ids(self, text: str) -> List[int]:
-        s = _SP_SPACE + text.replace(" ", _SP_SPACE)
+        s = self._normalize(text)
+        if not s:
+            return []
+        if self.model_type == 2:
+            return self._encode_bpe(s)
+        return self._encode_viterbi(s)
+
+    def _encode_bpe(self, s: str) -> List[int]:
+        """sentencepiece bpe_model.cc: agenda of adjacent symbol pairs ordered
+        by (merged-piece score desc, left position asc); merge until no pair's
+        concatenation is in the vocabulary."""
+        import heapq
+
+        n = len(s)
+        sym = list(s)  # symbol strings, indexed by original left position
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        alive = [True] * n
+        heap: list = []
+
+        def push(l: int):
+            r = nxt[l]
+            if l < 0 or r < 0:
+                return
+            pid = self._piece_to_id.get(sym[l] + sym[r])
+            if pid is not None:
+                heapq.heappush(heap, (-self.scores[pid], l, sym[l] + sym[r], pid))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _, l, merged, pid = heapq.heappop(heap)
+            r = nxt[l]
+            if not alive[l] or r < 0 or not alive[r] or sym[l] + sym[r] != merged:
+                continue  # stale agenda entry
+            sym[l] = merged
+            alive[r] = False
+            nxt[l] = nxt[r]
+            if nxt[r] >= 0:
+                prv[nxt[r]] = l
+            push(prv[l])
+            push(l)
+
+        ids: List[int] = []
+        i = 0  # position 0 stays alive: merges always keep the left node
+        while i >= 0:
+            pid = self._piece_to_id.get(sym[i])
+            if pid is not None:
+                ids.append(pid)
+            else:
+                ids.extend(self._char_ids(sym[i]))
+            i = nxt[i]
+        return ids
+
+    def _encode_viterbi(self, s: str) -> List[int]:
         n = len(s)
         NEG = -1e18
         best = [NEG] * (n + 1)
@@ -202,10 +322,10 @@ class SentencePieceTokenizer:
             for j in range(i + 1, hi + 1):
                 pid = self._piece_to_id.get(s[i:j])
                 if pid is None:
-                    if j == i + 1:  # single char fallback -> unk
+                    if j == i + 1:  # single char fallback -> unk/bytes
                         sc = best[i] - 100.0
                         if sc > best[j]:
-                            best[j], back[j] = sc, (i, self.unk_id)
+                            best[j], back[j] = sc, (i, None)
                     continue
                 sc = best[i] + self.scores[pid]
                 if sc > best[j]:
@@ -214,7 +334,7 @@ class SentencePieceTokenizer:
         j = n
         while j > 0:
             i, pid = back[j]
-            ids.append(pid)
+            ids.extend(reversed(self._char_ids(s[i:j]) if pid is None else [pid]))
             j = i
         return ids[::-1]
 
