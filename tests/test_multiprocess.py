@@ -1,0 +1,77 @@
+"""REAL multi-process data parallelism: 2 OS processes, jax.distributed.
+
+Spawns two workers that each call `jax.distributed.initialize` (CPU backend,
+local coordinator), load their own `process_index` manifest shard, assemble
+the global batch with `make_array_from_process_local_data`, and run one
+sharded train step. Asserts:
+  * both ranks compute the SAME loss (it is a replicated global scalar);
+  * that loss equals a single-process run over the concatenated shards.
+
+Reference analogue: the 2-GPU DDP CI stage (`Jenkinsfile:84-89`) exercising
+`nemo/utils/distributed.py:22`.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from distributed_common import LOCAL_BATCH, build_corpus, load_local_batch, make_tiny_setup
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_data_parallel(tmp_path):
+    manifest = build_corpus(str(tmp_path / "corpus"))
+    port = _free_port()
+
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = ROOT + os.pathsep + os.path.join(ROOT, "tests")
+    procs, outs = [], []
+    for rank in range(2):
+        out = str(tmp_path / f"rank{rank}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(ROOT, "tests", "distributed_worker.py"),
+             str(rank), "2", str(port), manifest, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    results = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=560)
+        assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
+    for out in outs:
+        with open(out) as f:
+            results.append(json.load(f))
+
+    assert results[0]["devices"] == results[1]["devices"] == 8
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # single-process reference over the SAME global batch (conftest gives
+    # this process its own virtual 8-device cpu mesh)
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    state, step = make_tiny_setup(mesh)
+    shard0 = load_local_batch(manifest, 0, 2)
+    shard1 = load_local_batch(manifest, 1, 2)
+    # device order in the 2-process mesh: process 0's devices first, so the
+    # global batch is [shard0; shard1]
+    batch = {k: np.concatenate([shard0[k], shard1[k]]) for k in shard0}
+    sh = NamedSharding(mesh, P("data"))
+    batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    state, metrics = step(state, batch)
+    ref_loss = float(metrics["loss"])
+
+    assert results[0]["loss"] == pytest.approx(ref_loss, rel=1e-5), (
+        f"distributed loss {results[0]['loss']} != single-process {ref_loss}")
