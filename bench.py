@@ -19,11 +19,13 @@ Additional fields in the same JSON object:
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_AUDIO_S_PER_S = 400.0
+_SECTION_TIMEOUT_S = 2400  # generous: first cold remote compile takes minutes
 
 BATCH = 16
 SECONDS = 15.0  # per-utterance duration
@@ -118,10 +120,17 @@ def bench_e2e_train(jax, state, step):
             state, metrics = step(state, next(batches))
         _sync(metrics)
         t0 = time.perf_counter()
+        waits = []
         for _ in range(ITERS):
-            state, metrics = step(state, next(batches))
+            tb = time.perf_counter()
+            batch = next(batches)
+            waits.append(time.perf_counter() - tb)
+            state, metrics = step(state, batch)
         _sync(metrics)
         dt = time.perf_counter() - t0
+        print(f"[e2e] step avg {dt / ITERS * 1e3:.1f} ms; host batch-wait "
+              f"avg {np.mean(waits) * 1e3:.1f} ms max {np.max(waits) * 1e3:.1f} ms",
+              file=sys.stderr)
         batches.close()
         return BATCH * SECONDS * ITERS / dt
     finally:
@@ -301,11 +310,12 @@ def selftest(jax, jnp):
     return "ok" if not bad else "fail: " + "; ".join(bad)
 
 
-def main():
-    jax_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+def _ctc_setup():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", jax_cache)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_cfg
@@ -320,34 +330,78 @@ def main():
     opt = make_optimizer("adamw", sched, weight_decay=1e-3, grad_clip=1.0)
     state = init_ctc_state(cfg, opt, jax.random.PRNGKey(0), example_feat_shape=(1, 80, 128))
     step = make_ctc_train_step(cfg, opt)
+    return jax, jnp, cfg, state, step
+
+
+def run_section(name: str) -> dict:
+    """One benchmark section in THIS process; returns its JSON fields."""
+    if name == "primary":
+        jax, jnp, cfg, state, step = _ctc_setup()
+        primary, _ = bench_ctc_train(jax, jnp, cfg, state, step)
+        return {"metric": "ctc_large_train_throughput", "value": round(primary, 2),
+                "unit": "audio_s/s/chip",
+                "vs_baseline": round(primary / BASELINE_AUDIO_S_PER_S, 3)}
+    if name == "e2e":
+        jax, jnp, cfg, state, step = _ctc_setup()
+        return {"e2e_train": round(bench_e2e_train(jax, state, step), 2)}
+    if name == "ctc_decode":
+        jax, jnp, cfg, state, _ = _ctc_setup()
+        return {"ctc_decode": round(bench_ctc_decode(jax, jnp, cfg, state), 2)}
+    if name == "selftest":
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        import jax.numpy as jnp
+
+        return {"selftest": selftest(jax, jnp)}
+    if name == "rnnt":
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        import jax.numpy as jnp
+
+        out = {}
+        tp, (rnnt_cfg, rnnt_state) = bench_rnnt_train(jax, jnp)
+        out["rnnt_train"] = round(tp, 2)
+        out["rnnt_decode"] = round(bench_rnnt_decode(jax, jnp, rnnt_cfg, rnnt_state), 2)
+        return out
+    raise ValueError(name)
+
+
+def main():
+    """Each section runs in its own subprocess, sequentially (only one
+    process may hold the TPU; a wedged/failed section then cannot poison the
+    later ones — the next subprocess gets a fresh backend connection)."""
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        print(json.dumps(run_section(sys.argv[2])))
+        return
+
+    import subprocess
 
     out = {}
-    primary, state = bench_ctc_train(jax, jnp, cfg, state, step)
-    out["metric"] = "ctc_large_train_throughput"
-    out["value"] = round(primary, 2)
-    out["unit"] = "audio_s/s/chip"
-    out["vs_baseline"] = round(primary / BASELINE_AUDIO_S_PER_S, 3)
-
-    for name, fn in [
-        ("e2e_train", lambda: bench_e2e_train(jax, state, step)),
-        ("ctc_decode", lambda: bench_ctc_decode(jax, jnp, cfg, state)),
-        ("selftest", lambda: selftest(jax, jnp)),
-    ]:
+    for section in ("primary", "e2e", "ctc_decode", "selftest", "rnnt"):
+        print(f"[bench] running section {section} ...", file=sys.stderr)
+        t0 = time.time()
         try:
-            r = fn()
-            out[name] = round(r, 2) if isinstance(r, float) else r
-        except Exception as e:  # never lose the primary metric
-            out[name] = f"error: {type(e).__name__}: {e}"[:200]
-    try:
-        rnnt_tp, (rnnt_cfg, rnnt_state) = bench_rnnt_train(jax, jnp)
-        out["rnnt_train"] = round(rnnt_tp, 2)
-        try:
-            out["rnnt_decode"] = round(bench_rnnt_decode(jax, jnp, rnnt_cfg, rnnt_state), 2)
-        except Exception as e:
-            out["rnnt_decode"] = f"error: {type(e).__name__}: {e}"[:200]
-    except Exception as e:
-        out["rnnt_train"] = f"error: {type(e).__name__}: {e}"[:200]
-
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--section", section],
+                capture_output=True, text=True, timeout=_SECTION_TIMEOUT_S)
+            sys.stderr.write(r.stderr[-2000:])
+            line = next((ln for ln in reversed(r.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                out.update(json.loads(line))
+            else:
+                tail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+                out[section] = f"error: rc={r.returncode}: {tail[0]}"[:200]
+        except subprocess.TimeoutExpired:
+            out[section] = f"error: timeout after {_SECTION_TIMEOUT_S}s"
+        print(f"[bench] section {section} done in {time.time() - t0:.0f}s",
+              file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -312,7 +312,10 @@ class BucketedLoader:
                     break
         finally:
             stop.set()
-            builder.join(timeout=5.0)
+            try:
+                builder.join(timeout=5.0)
+            except TypeError:
+                pass  # interpreter teardown: threading internals already gone
 
     def _collate(self, bucket: int, idxs: List[int], items) -> Batch:
         t_cap = self.ds.boundaries[bucket]
