@@ -244,11 +244,15 @@ class _BaseASRModel:
         from conformer_nemo_tpu.parallel.mesh import batch_sharding
 
         # mid-epoch validation cadence: explicit arg, or trainer
-        # val_check_interval when given in steps (int; the reference's
-        # fractional-epoch form maps to per-epoch validation here)
+        # val_check_interval — int = every N steps; float in (0, 1] = the
+        # reference's fraction-of-epoch form (lightning semantics), resolved
+        # against the train loader's batches-per-epoch
         vci = tr.get("val_check_interval")
         if val_every_n_steps is None and isinstance(vci, int) and vci > 0:
             val_every_n_steps = vci
+        elif (val_every_n_steps is None and isinstance(vci, float)
+              and 0 < vci <= 1 and hasattr(train_loader, "__len__")):
+            val_every_n_steps = max(1, int(round(vci * len(train_loader))))
 
         def _validate(step):
             val = {}

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
+import warnings
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -42,8 +43,12 @@ def _resolve(node: Any, root: dict) -> Any:
     return node
 
 
-def load_config(path: str, overrides: Optional[dict] = None) -> dict:
-    """Load YAML + resolve interpolation + apply dotted-key overrides."""
+def load_config(path: str, overrides: Optional[dict] = None, audit: bool = True) -> dict:
+    """Load YAML + resolve interpolation + apply dotted-key overrides.
+
+    audit=True warns about config keys nothing in the framework consumes —
+    silent key swallowing is how recipe drift hides (a misspelled
+    `val_check_interval` should not quietly change training behavior)."""
     with open(path, encoding="utf-8") as f:
         cfg = yaml.safe_load(f)
     if overrides:
@@ -53,7 +58,97 @@ def load_config(path: str, overrides: Optional[dict] = None) -> dict:
             for p in parts[:-1]:
                 cur = cur.setdefault(p, {})
             cur[parts[-1]] = value
-    return _resolve(cfg, cfg)
+    cfg = _resolve(cfg, cfg)
+    if audit:
+        for msg in audit_config(cfg):
+            warnings.warn(msg, ConfigKeyWarning, stacklevel=2)
+    return cfg
+
+
+class ConfigKeyWarning(UserWarning):
+    pass
+
+
+_DS_KEYS = {
+    "manifest_filepath", "sample_rate", "batch_size", "shuffle", "num_buckets",
+    "trim_silence", "use_start_end_token", "augmentor", "num_workers",
+    "bucketing_strategy", "bucketing_batch_size", "min_duration", "max_duration",
+    "max_utts", "is_tarred", "tarred_audio_filepaths", "shuffle_n",
+    "tarred_shard_strategy", "parser", "labels", "pin_memory", "drop_last",
+    "bucketing_weights", "normalize_transcripts",
+}
+# accepted for reference-recipe compatibility but deliberate no-ops here;
+# audited with an explanatory message instead of silence
+_NOOP_KEYS = {
+    "model.train_ds.pin_memory": "host buffers always transfer via async device_put",
+    "model.validation_ds.pin_memory": "host buffers always transfer via async device_put",
+    "model.test_ds.pin_memory": "host buffers always transfer via async device_put",
+    "trainer.devices": "device topology comes from the jax runtime/mesh config",
+    "trainer.gpus": "device topology comes from the jax runtime/mesh config",
+    "trainer.num_nodes": "process topology comes from jax.distributed",
+    "trainer.strategy": "parallelism is mesh-based (trainer.mesh), not DDP strategies",
+    "trainer.accelerator": "device topology comes from the jax runtime",
+    "trainer.precision": "precision policy is fixed: params fp32, compute bf16",
+    "trainer.amp_level": "precision policy is fixed: params fp32, compute bf16",
+    "trainer.amp_backend": "precision policy is fixed: params fp32, compute bf16",
+}
+
+_SECTION_KEYS = {
+    "": {"name", "model", "trainer", "exp_manager", "init_from_nemo_model",
+         "init_from_pretrained_model", "init_from_ptl_ckpt"},
+    "model": {
+        "sample_rate", "labels", "tokenizer", "train_ds", "validation_ds",
+        "test_ds", "preprocessor", "spec_augment", "encoder", "decoder",
+        "joint", "decoding", "optim", "model_defaults", "loss",
+        "variational_noise", "skip_nan_grad", "ctc_reduction",
+        "compute_eval_loss", "log_prediction", "log_every_n_steps",
+        # config-only stanza in the reference fork too (read by no code
+        # there either — SURVEY §0); kept for config-surface parity
+        "gradient_mask",
+    },
+    "model.train_ds": _DS_KEYS, "model.validation_ds": _DS_KEYS,
+    "model.test_ds": _DS_KEYS,
+    "trainer": {
+        "max_epochs", "max_steps", "log_every_n_steps",
+        "accumulate_grad_batches", "gradient_clip_val", "val_check_interval",
+        "check_val_every_n_epoch", "resume_from_checkpoint", "mesh",
+        "enable_progress_bar", "num_sanity_val_steps", "sync_batchnorm",
+        "benchmark", "logger", "enable_checkpointing", "max_time",
+    } | {k.split(".", 1)[1] for k in _NOOP_KEYS if k.startswith("trainer.")},
+    "exp_manager": {
+        "exp_dir", "name", "version", "resume_if_exists",
+        "resume_ignore_no_checkpoint", "create_checkpoint_callback",
+        "checkpoint_callback_params", "create_wandb_logger",
+        "wandb_logger_kwargs", "create_tensorboard_logger",
+        "create_dllogger_logger", "log_every_n_steps",
+    },
+}
+
+
+def audit_config(cfg: dict) -> list:
+    """-> warning messages for unknown/no-op keys in audited sections.
+
+    Sections without a schema entry (encoder, preprocessor, optim, ... whose
+    builders already raise on bad dataclass fields, and opaque passthroughs
+    like augmentor/decoding) are not audited."""
+    msgs = []
+
+    def walk(section: str, node):
+        known = _SECTION_KEYS.get(section)
+        if known is None or not isinstance(node, dict):
+            return
+        for key, val in node.items():
+            path = f"{section}.{key}" if section else key
+            if path in _NOOP_KEYS:
+                msgs.append(f"config key '{path}' is accepted for reference "
+                            f"compatibility but is a no-op here: {_NOOP_KEYS[path]}")
+            elif key not in known and not key.startswith("_"):
+                msgs.append(f"config key '{path}' is not consumed by anything "
+                            "(typo, or an unsupported reference knob?)")
+            walk(path, val)
+
+    walk("", cfg)
+    return msgs
 
 
 def _pick(d: dict, names: dict) -> dict:

@@ -223,6 +223,10 @@ class BucketedLoader:
             rng.shuffle(batches)
         return batches
 
+    def __len__(self) -> int:
+        """Batches per epoch (for fraction-of-epoch val_check_interval)."""
+        return len(self._plan())
+
     def _item_rng(self, idx: int) -> random.Random:
         """Per-item augmentation stream: a function of (seed, epoch, idx)
         only, so augmented waveforms are identical under any worker count."""

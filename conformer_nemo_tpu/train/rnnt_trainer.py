@@ -122,7 +122,12 @@ def make_rnnt_train_step(
         else:
             updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # per-module grad norms (reference logs encoder/decoder/joint norms
+        # for prednet-blowup diagnosis, rnnt_models.py:889-930)
         metrics = {"loss": loss, "grad_norm": gnorm}
+        for mod in ("encoder", "decoder", "joint"):
+            if mod in grads:
+                metrics[f"{mod}_grad_norm"] = optax.global_norm(grads[mod])
         return (
             state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_stats,
