@@ -13,9 +13,11 @@ depth dv. One kernel therefore serves both abs-pos and rel-pos attention.
 Design (standard online-softmax flash):
   grid = (B*H, T/Bq); each program streams K/V tiles of size Bk from VMEM,
   carrying the running row-max, normalizer and output accumulator. Length
-  masking folds into each score tile via broadcasted iota. The backward pass
-  recomputes per-head attention under lax.map (memory-bounded); a fused
-  Pallas backward is a further optimization.
+  masking folds into each score tile via broadcasted iota. The forward also
+  emits the per-row logsumexp; the backward is FUSED Pallas too — a dQ
+  kernel (query-tiled, streams K/V) and a dK/dV kernel (key-tiled, streams
+  Q/dO), using the saved lse + delta = rowsum(dO * O), so no [T, T]
+  probability matrix ever reaches HBM in either direction.
 
 Interpret-mode tests (CPU) check parity vs the naive formulation
 (tests/test_flash_attention.py).
@@ -44,7 +46,7 @@ def _pick_tiles(t: int, bq: int, bk: int):
 
 
 def _make_kernel(bk: int, scale: float):
-    def kernel(lens_ref, qs_ref, ks_ref, v_ref, o_ref):
+    def kernel(lens_ref, qs_ref, ks_ref, v_ref, o_ref, lse_ref):
         b = pl.program_id(0)
         valid_len = lens_ref[b]
         bq, d1 = qs_ref.shape[1], qs_ref.shape[2]
@@ -85,15 +87,19 @@ def _make_kernel(bk: int, scale: float):
         m, l, acc = jax.lax.fori_loop(0, tk // bk, body, (m0, l0, acc0))
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, :, :] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+        # per-row logsumexp for the fused backward; fully-masked rows get 0
+        # so bwd's exp(s - lse) underflows to 0 instead of overflowing
+        m_fin = jnp.where(m <= _NEG_INF * 0.5, 0.0, m)
+        lse_ref[0, :] = m_fin + jnp.log(l_safe)
 
     return kernel
 
 
-def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret):
+def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret, with_lse=False):
     bh, t, d1 = qs.shape
     dv = v.shape[-1]
     bq, bk = _pick_tiles(t, bq, bk)
-    return pl.pallas_call(
+    o, lse = pl.pallas_call(
         _make_kernel(bk, scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -103,11 +109,165 @@ def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret):
                 pl.BlockSpec((1, t, d1), lambda b, i, lens: (b, 0, 0)),
                 pl.BlockSpec((1, t, dv), lambda b, i, lens: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, bq, dv), lambda b, i, lens: (b, i, 0)),
+            out_specs=[
+                pl.BlockSpec((1, bq, dv), lambda b, i, lens: (b, i, 0)),
+                pl.BlockSpec((1, bq), lambda b, i, lens: (b, i)),
+            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, t, dv), qs.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, dv), qs.dtype),
+            jax.ShapeDtypeStruct((bh, t), jnp.float32),
+        ],
         interpret=interpret,
     )(lens.astype(jnp.int32), qs, ks, v)
+    return (o, lse) if with_lse else o
+
+
+def _make_dq_kernel(bk: int, scale: float):
+    def kernel(lens_ref, qs_ref, ks_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref):
+        b = pl.program_id(0)
+        i_q = pl.program_id(1)
+        valid_len = lens_ref[b]
+        bq, d1 = qs_ref.shape[1], qs_ref.shape[2]
+        tk, dv = v_ref.shape[1], v_ref.shape[2]
+
+        q = qs_ref[0, :, :].astype(jnp.float32)
+        do = do_ref[0, :, :].astype(jnp.float32)
+        lse = lse_ref[0, :]  # [bq]
+        delta = delta_ref[0, :]  # [bq]
+        q_idx = i_q * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        q_valid = q_idx < valid_len  # [bq, 1]
+
+        def body(i, acc):
+            start = i * bk
+            k_tile = ks_ref[0, pl.ds(start, bk), :].astype(jnp.float32)
+            v_tile = v_ref[0, pl.ds(start, bk), :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            mask = (key_idx < valid_len) & q_valid
+            p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+            dp = jax.lax.dot_general(
+                do, v_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq, bk]
+            ds = p * (dp - delta[:, None]) * scale
+            return acc + jax.lax.dot_general(
+                ds, k_tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc0 = jnp.zeros((bq, d1), jnp.float32)
+        acc = jax.lax.fori_loop(0, tk // bk, body, acc0)
+        dq_ref[0, :, :] = acc.astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _make_dkv_kernel(bq2: int, scale: float):
+    def kernel(lens_ref, qs_ref, ks_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dk_ref, dv_ref):
+        b = pl.program_id(0)
+        i_k = pl.program_id(1)
+        valid_len = lens_ref[b]
+        tq, d1 = qs_ref.shape[1], qs_ref.shape[2]
+        bk, dv = dv_ref.shape[1], dv_ref.shape[2]
+
+        k_tile = ks_ref[0, :, :].astype(jnp.float32)  # [bk, d1]
+        v_tile = v_ref[0, :, :].astype(jnp.float32)  # [bk, dv]
+        key_idx = i_k * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        key_valid = key_idx < valid_len  # [1, bk]
+
+        def body(i, carry):
+            dk_acc, dv_acc = carry
+            start = i * bq2
+            q_tile = qs_ref[0, pl.ds(start, bq2), :].astype(jnp.float32)
+            do_tile = do_ref[0, pl.ds(start, bq2), :].astype(jnp.float32)
+            lse = lse_ref[0, pl.ds(start, bq2)]
+            delta = delta_ref[0, pl.ds(start, bq2)]
+            s = jax.lax.dot_general(
+                q_tile, k_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [bq2, bk]
+            q_idx = start + jax.lax.broadcasted_iota(jnp.int32, (bq2, 1), 0)
+            mask = key_valid & (q_idx < valid_len)
+            p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p, do_tile, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bk, dv]
+            dp = jax.lax.dot_general(
+                do_tile, v_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq2, bk]
+            ds = p * (dp - delta[:, None]) * scale
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q_tile, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bk, d1]
+            return dk_acc, dv_acc
+
+        dk0 = jnp.zeros((bk, d1), jnp.float32)
+        dv0 = jnp.zeros((bk, dv), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, tq // bq2, body, (dk0, dv0))
+        dk_ref[0, :, :] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, :] = dv_acc.astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
+    bh, t, d1 = qs.shape
+    dv_dim = v.shape[-1]
+    bq, bk = _pick_tiles(t, bq, bk)
+    lens = lens.astype(jnp.int32)
+
+    dq = pl.pallas_call(
+        _make_dq_kernel(bk, scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, t // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, d1), lambda b, i, lens: (b, i, 0)),
+                pl.BlockSpec((1, t, d1), lambda b, i, lens: (b, 0, 0)),
+                pl.BlockSpec((1, t, dv_dim), lambda b, i, lens: (b, 0, 0)),
+                pl.BlockSpec((1, bq, dv_dim), lambda b, i, lens: (b, i, 0)),
+                pl.BlockSpec((1, bq), lambda b, i, lens: (b, i)),
+                pl.BlockSpec((1, bq), lambda b, i, lens: (b, i)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d1), lambda b, i, lens: (b, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d1), qs.dtype),
+        interpret=interpret,
+    )(lens, qs, ks, v, do, lse, delta)
+
+    dk, dvv = pl.pallas_call(
+        _make_dkv_kernel(bq, scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, t // bk),
+            in_specs=[
+                pl.BlockSpec((1, t, d1), lambda b, i, lens: (b, 0, 0)),
+                pl.BlockSpec((1, bk, d1), lambda b, i, lens: (b, i, 0)),
+                pl.BlockSpec((1, bk, dv_dim), lambda b, i, lens: (b, i, 0)),
+                pl.BlockSpec((1, t, dv_dim), lambda b, i, lens: (b, 0, 0)),
+                pl.BlockSpec((1, t), lambda b, i, lens: (b, 0)),
+                pl.BlockSpec((1, t), lambda b, i, lens: (b, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, d1), lambda b, i, lens: (b, i, 0)),
+                pl.BlockSpec((1, bk, dv_dim), lambda b, i, lens: (b, i, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, d1), ks.dtype),
+            jax.ShapeDtypeStruct((bh, t, dv_dim), v.dtype),
+        ],
+        interpret=interpret,
+    )(lens, qs, ks, v, do, lse, delta)
+    return dq, dk, dvv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -124,33 +284,19 @@ def flash_attention(
 
 
 def _flash_vjp_fwd(qs, ks, v, lens, bq, bk, scale, interpret):
-    o = _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret)
-    return o, (qs, ks, v, lens)
+    o, lse = _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret,
+                              with_lse=True)
+    return o, (qs, ks, v, lens, o, lse)
 
 
 def _flash_vjp_bwd(bq, bk, scale, interpret, res, g):
-    qs, ks, v, lens = res
-    bh, t, d1 = qs.shape
-
-    def per_head(args):
-        qs_h, ks_h, v_h, len_h, g_h = args
-        s = (qs_h.astype(jnp.float32) @ ks_h.astype(jnp.float32).T) * scale
-        key_idx = jnp.arange(t)
-        valid = key_idx[None, :] < len_h
-        s = jnp.where(valid, s, _NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
-        p = jnp.where(valid, p, 0.0)
-        dv_h = p.T @ g_h.astype(jnp.float32)
-        dp = g_h.astype(jnp.float32) @ v_h.astype(jnp.float32).T
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dqs_h = (ds @ ks_h.astype(jnp.float32)) * scale
-        dks_h = (ds.T @ qs_h.astype(jnp.float32)) * scale
-        return dqs_h.astype(qs_h.dtype), dks_h.astype(ks_h.dtype), dv_h.astype(v_h.dtype)
-
-    dqs, dks, dv = jax.lax.map(
-        per_head, (qs, ks, v, lens, g), batch_size=max(1, min(bh, 8))
-    )
-    return dqs, dks, dv, None
+    qs, ks, v, lens, o, lse = res
+    # delta_i = sum_d dO_i O_i (the softmax-jacobian row term); tiny
+    # elementwise+reduce, XLA fuses it — no kernel needed
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dq, dk, dv = _flash_bwd_entry(
+        qs, ks, v, g, lse, delta, lens, bq, bk, scale, interpret)
+    return dq, dk, dv, None
 
 
 flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

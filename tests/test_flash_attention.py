@@ -99,3 +99,30 @@ def test_auto_flash_threshold_selects_kernel():
     flash, l2 = run(min_t=8, t_mel=220)
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_allclose(dense, flash, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_fused_bwd_zero_and_short_lengths_no_nan():
+    """Fused Pallas bwd: invalid query rows must yield ZERO grads (not NaN
+    from exp(s - 0) overflow), including a fully-masked head (len 0)."""
+    rng = np.random.RandomState(3)
+    bh, t, d1, dv = 3, 64, 16, 16
+    qs = jnp.asarray(3.0 * rng.randn(bh, t, d1).astype(np.float32))  # big scores
+    ks = jnp.asarray(3.0 * rng.randn(bh, t, d1).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, t, dv).astype(np.float32))
+    lens = jnp.array([t, 5, 0], jnp.int32)
+    wmask = (jnp.arange(t)[None, :] < lens[:, None])[..., None].astype(np.float32)
+
+    def loss_flash(qs, ks, v):
+        return jnp.sum(flash_attention(qs, ks, v, lens, 16, 16, 0.5, True) * wmask)
+
+    def loss_naive(qs, ks, v):
+        return jnp.sum(naive_attention(qs, ks, v, lens, 0.5) * wmask)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(qs, ks, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(qs, ks, v)
+    for a, b in zip(g_flash, g_naive):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+    # rows past each head's length must receive exactly zero dQ
+    dq = np.asarray(g_flash[0])
+    assert np.all(dq[1, 5:] == 0.0) and np.all(dq[2] == 0.0)
