@@ -96,8 +96,8 @@ def _flac_lib():
     return _FLAC_LIB
 
 
-def read_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode an in-memory FLAC stream -> (float32 [T] or [T, C], sr)."""
+def _read_flac_raw(data: bytes) -> tuple[np.ndarray, int, int, int]:
+    """-> (int32 samples [T*C] interleaved, channels, sr, bits_per_sample)."""
     import ctypes
 
     lib = _flac_lib()
@@ -121,11 +121,17 @@ def read_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
         arr = np.ctypeslib.as_array(out, shape=(total,)).copy()
     finally:
         lib.flac_free(out)
-    scale = float(1 << (bps.value - 1))
+    return arr, ch.value, sr.value, bps.value
+
+
+def read_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an in-memory FLAC stream -> (float32 [T] or [T, C], sr)."""
+    arr, ch, sr, bps = _read_flac_raw(data)
+    scale = float(1 << (bps - 1))
     audio = arr.astype(np.float32) / scale
-    if ch.value > 1:
-        audio = audio.reshape(-1, ch.value)
-    return audio, sr.value
+    if ch > 1:
+        audio = audio.reshape(-1, ch)
+    return audio, sr
 
 
 def read_flac(path: str) -> tuple[np.ndarray, int]:
@@ -191,6 +197,46 @@ def load_audio(
     if trim:
         data = trim_silence(data)
     return np.ascontiguousarray(data, dtype=np.float32)
+
+
+def load_audio_pcm16(
+    path: str,
+    target_sr: int = 16000,
+    offset: float = 0.0,
+    duration: float = 0.0,
+) -> np.ndarray:
+    """Decode straight to int16 [T] when lossless (mono PCM16 WAV / 16-bps
+    mono FLAC already at target_sr) — skips the float32 dequant/requant
+    passes, which matter on bandwidth-limited hosts feeding `pcm16` loader
+    batches. Falls back to load_audio + quantization otherwise."""
+    try:
+        if path.lower().endswith(".flac"):
+            with open(path, "rb") as f:
+                arr, ch, sr, bps = _read_flac_raw(f.read())
+            if ch == 1 and bps == 16 and sr == target_sr:
+                data = arr.astype(np.int16)
+            else:
+                raise _Pcm16Fallback
+        else:
+            with wave.open(path, "rb") as w:
+                if (w.getnchannels() == 1 and w.getsampwidth() == 2
+                        and w.getframerate() == target_sr):
+                    data = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2").copy()
+                else:
+                    raise _Pcm16Fallback
+        if offset > 0 or duration > 0:
+            start = int(offset * target_sr)
+            end = start + int(duration * target_sr) if duration > 0 else len(data)
+            data = data[start:end]
+        return data
+    except _Pcm16Fallback:
+        x = load_audio(path, target_sr=target_sr, offset=offset, duration=duration)
+        return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+
+
+class _Pcm16Fallback(Exception):
+    pass
 
 
 def write_wav(path: str, samples: np.ndarray, sr: int = 16000) -> None:

@@ -117,12 +117,23 @@ class BucketedAudioTextDataset:
                 ids = ids + [self.eos_id]
         return ids
 
-    def load_item(self, idx: int, rng: Optional[random.Random] = None):
+    def load_item(self, idx: int, rng: Optional[random.Random] = None,
+                  pcm16: bool = False):
         """Decode + (optionally) augment + tokenize one sample.
 
         `rng` seeds augmentation; parallel loaders pass a per-(epoch, idx)
-        stream so results are independent of worker scheduling."""
+        stream so results are independent of worker scheduling. `pcm16`
+        requests int16 output when decodable losslessly (augment/trim force
+        the float path; the collate quantizes)."""
         s = self.samples[idx]
+        if pcm16 and self.augmentor is None and not self.trim_silence:
+            from conformer_nemo_tpu.data.audio_io import load_audio_pcm16
+
+            audio = load_audio_pcm16(
+                s.audio_file, target_sr=self.sample_rate, offset=s.offset,
+                duration=s.duration,
+            )
+            return audio, self.encode_text(s), s.text
         audio = load_audio(
             s.audio_file, target_sr=self.sample_rate, offset=s.offset,
             duration=s.duration, trim=self.trim_silence,
@@ -238,7 +249,10 @@ class BucketedLoader:
             yield from self._iter_workers(batches)
         else:
             for b, idxs in batches:
-                items = [self.ds.load_item(i, rng=self._item_rng(i)) for i in idxs]
+                items = [
+                    self.ds.load_item(i, rng=self._item_rng(i), pcm16=self.pcm16)
+                    for i in idxs
+                ]
                 yield self._collate(b, idxs, items)
         self.epoch += 1
 
@@ -267,7 +281,8 @@ class BucketedLoader:
                     def submit_next():
                         b, idxs = next(plan_it)
                         futs = [
-                            pool.submit(self.ds.load_item, i, rng=self._item_rng(i))
+                            pool.submit(self.ds.load_item, i,
+                                        rng=self._item_rng(i), pcm16=self.pcm16)
                             for i in idxs
                         ]
                         inflight.append((b, idxs, futs))
@@ -332,7 +347,7 @@ class BucketedLoader:
         texts: List[str] = []
         for row, (wav, toks, text) in enumerate(items):
             n = min(len(wav), t_cap)
-            if self.pcm16:
+            if self.pcm16 and wav.dtype != np.int16:
                 audio[row, :n] = np.clip(wav[:n] * 32768.0, -32768, 32767).astype(np.int16)
             else:
                 audio[row, :n] = wav[:n]

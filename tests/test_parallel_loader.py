@@ -110,3 +110,46 @@ def test_worker_loader_early_break_shuts_down(corpus):
     assert not any(
         t.name == "bucketed-loader" for t in threading.enumerate()
     ), names
+
+
+def test_pcm16_fast_path_bit_exact(corpus, tmp_path):
+    """pcm16 loader output must be IDENTICAL whether audio takes the direct
+    int16 decode path (mono PCM16 WAV at target sr) or the float fallback."""
+    import numpy as np
+
+    from conformer_nemo_tpu.data.audio_io import load_audio, load_audio_pcm16
+    from conformer_nemo_tpu.data.flac_encode import write_flac
+
+    # WAV fast path == float path quantized
+    from conformer_nemo_tpu.data.manifest import read_manifest
+
+    s = read_manifest(corpus)[0]
+    fast = load_audio_pcm16(s.audio_file, 16000)
+    slow = np.clip(load_audio(s.audio_file, 16000) * 32768.0, -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(fast, slow)
+
+    # FLAC fast path
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(16000) * 0.05).astype(np.float32)
+    p = str(tmp_path / "a.flac")
+    write_flac(p, wav, 16000)
+    fast = load_audio_pcm16(p, 16000)
+    slow = np.clip(load_audio(p, 16000) * 32768.0, -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(fast, slow)
+
+    # resample fallback path still works (target_sr != file sr)
+    out = load_audio_pcm16(s.audio_file, 8000)
+    assert out.dtype == np.int16 and abs(len(out) - len(fast) // 2) < 8000
+
+
+def test_pcm16_loader_end_to_end(corpus):
+    import numpy as np
+
+    ref = _epoch(_make(corpus, num_workers=0))
+    loader = _make(corpus, num_workers=2)
+    loader.pcm16 = True
+    par = _epoch(loader)
+    for a, b in zip(ref, par):
+        assert b.audio.dtype == np.int16
+        np.testing.assert_array_equal(
+            b.audio, np.clip(a.audio * 32768.0, -32768, 32767).astype(np.int16))
