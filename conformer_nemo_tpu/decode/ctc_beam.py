@@ -47,6 +47,8 @@ def _load():
             lib.ctc_lm_load.restype = ctypes.c_void_p
             lib.ctc_lm_load.argtypes = [ctypes.c_char_p]
             lib.ctc_lm_free.argtypes = [ctypes.c_void_p]
+            lib.ctc_lm_save_binary.restype = ctypes.c_int
+            lib.ctc_lm_save_binary.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
             lib.ctc_beam_search.restype = ctypes.c_int
             lib.ctc_beam_search.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -73,7 +75,13 @@ class BeamSearchDecoderWithLM:
         beta: float = 1.5,
         lm_path: Optional[str] = None,
         num_cpus: int = 4,
+        lm_binary_cache: bool = True,
     ):
+        """lm_binary_cache: transparently cache the parsed ARPA tables next
+        to the file (`<lm_path>.binlm`, our flat format — NOT KenLM .bin) and
+        reload from the cache when fresh; large LMs then load in one read
+        instead of a full text parse at serving startup. KenLM `.bin` files
+        are not readable — convert to ARPA offline first."""
         self.vocab = list(vocab)
         self.blank_id = len(self.vocab)
         self.beam_width = beam_width
@@ -83,10 +91,21 @@ class BeamSearchDecoderWithLM:
         self._lib = _load()
         self._lm = None
         if lm_path:
-            handle = self._lib.ctc_lm_load(lm_path.encode())
+            load_path, write_cache = lm_path, False
+            if lm_binary_cache and not lm_path.endswith(".binlm"):
+                cache = lm_path + ".binlm"
+                if (os.path.exists(cache)
+                        and os.path.getmtime(cache) >= os.path.getmtime(lm_path)):
+                    load_path = cache
+                else:
+                    write_cache = True
+            handle = self._lib.ctc_lm_load(load_path.encode())
             if not handle:
-                raise ValueError(f"failed to load ARPA LM from {lm_path}")
+                raise ValueError(f"failed to load ARPA LM from {load_path}")
             self._lm = ctypes.c_void_p(handle)
+            if write_cache:
+                # best-effort: an unwritable directory just skips the cache
+                self._lib.ctc_lm_save_binary(self._lm, (lm_path + ".binlm").encode())
         # vocab passed to native: labels + blank sentinel row
         self._vocab_joined = "\n".join(self.vocab + ["<blank>"]).encode()
 

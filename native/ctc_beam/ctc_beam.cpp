@@ -43,6 +43,7 @@ inline double log_sum_exp(double a, double b) {
 class ArpaLM {
  public:
   bool Load(const std::string& path) {
+    if (IsBinary(path)) return LoadBinary(path);
     std::ifstream in(path);
     if (!in) return false;
     std::string line;
@@ -112,6 +113,74 @@ class ArpaLM {
 
   int max_order() const { return max_order_; }
   bool has_word(const std::string& w) const { return vocab_.count(w) > 0; }
+
+  // ---- binary cache (our own flat format; NOT KenLM .bin) ---------------
+  // Large ARPA text parses are slow to load at serving startup; the cache
+  // round-trips the fully-parsed tables. Layout: magic "CNLM0001", then
+  // max_order, vocab (len,bytes,id)*, probs (hash,logp)*, backoffs.
+  static bool IsBinary(const std::string& path) {
+    std::ifstream in(path, std::ios::binary);
+    char m[8] = {0};
+    in.read(m, 8);
+    return in.gcount() == 8 && std::memcmp(m, "CNLM0001", 8) == 0;
+  }
+
+  bool SaveBinary(const std::string& path) const {
+    std::ofstream out(path, std::ios::binary);
+    if (!out) return false;
+    out.write("CNLM0001", 8);
+    auto w64 = [&](uint64_t v) { out.write(reinterpret_cast<char*>(&v), 8); };
+    auto wd = [&](double v) { out.write(reinterpret_cast<char*>(&v), 8); };
+    w64(static_cast<uint64_t>(max_order_));
+    w64(vocab_.size());
+    for (const auto& kv : vocab_) {
+      w64(kv.first.size());
+      out.write(kv.first.data(), static_cast<std::streamsize>(kv.first.size()));
+      w64(kv.second);
+    }
+    w64(probs_.size());
+    for (const auto& kv : probs_) { w64(kv.first); wd(kv.second); }
+    w64(backoffs_.size());
+    for (const auto& kv : backoffs_) { w64(kv.first); wd(kv.second); }
+    return static_cast<bool>(out);
+  }
+
+  bool LoadBinary(const std::string& path) {
+    std::ifstream in(path, std::ios::binary);
+    if (!in) return false;
+    char m[8];
+    in.read(m, 8);
+    if (in.gcount() != 8 || std::memcmp(m, "CNLM0001", 8) != 0) return false;
+    auto r64 = [&]() { uint64_t v = 0; in.read(reinterpret_cast<char*>(&v), 8); return v; };
+    auto rd = [&]() { double v = 0; in.read(reinterpret_cast<char*>(&v), 8); return v; };
+    max_order_ = static_cast<int>(r64());
+    uint64_t nv = r64();
+    vocab_.clear();
+    vocab_.reserve(nv);
+    std::string word;
+    for (uint64_t i = 0; i < nv; ++i) {
+      uint64_t len = r64();
+      word.resize(len);
+      in.read(&word[0], static_cast<std::streamsize>(len));
+      uint64_t id = r64();
+      vocab_.emplace(word, static_cast<uint32_t>(id));
+    }
+    uint64_t np = r64();
+    probs_.clear();
+    probs_.reserve(np);
+    for (uint64_t i = 0; i < np; ++i) {
+      uint64_t k = r64();
+      probs_.emplace(k, rd());
+    }
+    uint64_t nb = r64();
+    backoffs_.clear();
+    backoffs_.reserve(nb);
+    for (uint64_t i = 0; i < nb; ++i) {
+      uint64_t k = r64();
+      backoffs_.emplace(k, rd());
+    }
+    return static_cast<bool>(in) && max_order_ > 0;
+  }
 
  private:
   double ScoreBackoff(const std::vector<uint32_t>& ctx, int start, uint32_t w) const {
@@ -332,6 +401,13 @@ void* ctc_lm_load(const char* arpa_path) {
 }
 
 void ctc_lm_free(void* lm) { delete static_cast<ArpaLM*>(lm); }
+
+// Serialize a loaded LM to the flat binary cache format (fast reload for
+// serving startup). Returns 0 on success.
+int ctc_lm_save_binary(void* lm, const char* path) {
+  if (!lm) return 1;
+  return static_cast<ArpaLM*>(lm)->SaveBinary(path) ? 0 : 2;
+}
 
 // vocab: '\n'-joined labels (V entries, index = label id).
 // Returns number of hypotheses written. Each hypothesis is written as

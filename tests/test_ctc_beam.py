@@ -141,3 +141,57 @@ def test_ctc_api_beamsearch_ngram_strategy(tmp_path):
     assert set(beam[0]) <= set("ab ")
     model.change_decoding_strategy({"strategy": "greedy"})
     assert model.transcribe([p], batch_size=1) == greedy
+
+
+def test_lm_binary_cache_roundtrip(tmp_path):
+    """ARPA load writes a .binlm cache; reloading from the cache scores
+    identically (decode outputs bit-equal)."""
+    import os
+
+    import numpy as np
+
+    from conformer_nemo_tpu.decode.ctc_beam import BeamSearchDecoderWithLM
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text("""
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-0.5\t<s>\t-0.3
+-0.7\t</s>
+-0.4\tab\t-0.2
+-0.9\tba\t-0.1
+-1.5\t<unk>
+
+\\2-grams:
+-0.2\t<s> ab
+-0.6\tab ba
+-0.8\tba </s>
+
+\\end\\
+""".strip() + "\n")
+    vocab = [" ", "a", "b"]
+    rng = np.random.RandomState(0)
+    logits = rng.randn(20, len(vocab) + 1).astype(np.float32)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    d1 = BeamSearchDecoderWithLM(vocab, beam_width=8, alpha=1.0, beta=0.5,
+                                 lm_path=str(arpa))
+    out1 = d1._decode_one(lp, nbest=4)
+    cache = str(arpa) + ".binlm"
+    assert os.path.exists(cache), "binary cache not written"
+
+    # corrupt the ARPA so a silent re-parse would differ; cache must be used
+    arpa.write_text("\\data\\\nngram 1=1\n\n\\1-grams:\n-9.0\t<unk>\n\n\\end\\\n")
+    os.utime(cache)  # keep cache newer
+    d2 = BeamSearchDecoderWithLM(vocab, beam_width=8, alpha=1.0, beta=0.5,
+                                 lm_path=str(arpa))
+    out2 = d2._decode_one(lp, nbest=4)
+    assert out1 == out2
+
+    # explicit .binlm path also loads
+    d3 = BeamSearchDecoderWithLM(vocab, beam_width=8, alpha=1.0, beta=0.5,
+                                 lm_path=cache)
+    assert d3._decode_one(lp, nbest=4) == out1
