@@ -383,7 +383,14 @@ def main():
     import subprocess
 
     out = {}
+    first = True
     for section in ("primary", "e2e", "ctc_decode", "selftest", "rnnt"):
+        if not first:
+            # the tunneled backend mishandles a connection opened right after
+            # the previous client disconnects (it can hang for minutes or
+            # poison the session) — give it a cooldown between sections
+            time.sleep(float(os.environ.get("BENCH_SECTION_COOLDOWN_S", "150")))
+        first = False
         print(f"[bench] running section {section} ...", file=sys.stderr)
         t0 = time.time()
         try:
