@@ -88,9 +88,11 @@ def _make_kernel(bk: int, scale: float):
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, :, :] = (acc / l_safe[:, None]).astype(o_ref.dtype)
         # per-row logsumexp for the fused backward; fully-masked rows get 0
-        # so bwd's exp(s - lse) underflows to 0 instead of overflowing
+        # so bwd's exp(s - lse) underflows to 0 instead of overflowing.
+        # Stored [bh, t, 1]: a (1, bq, 1) block satisfies the TPU tiling rule
+        # (trailing dim equals the array dim) where (1, bq) would not.
         m_fin = jnp.where(m <= _NEG_INF * 0.5, 0.0, m)
-        lse_ref[0, :] = m_fin + jnp.log(l_safe)
+        lse_ref[0, :, :] = (m_fin + jnp.log(l_safe))[:, None]
 
     return kernel
 
@@ -111,12 +113,12 @@ def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret, with_lse=False):
             ],
             out_specs=[
                 pl.BlockSpec((1, bq, dv), lambda b, i, lens: (b, i, 0)),
-                pl.BlockSpec((1, bq), lambda b, i, lens: (b, i)),
+                pl.BlockSpec((1, bq, 1), lambda b, i, lens: (b, i, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, dv), qs.dtype),
-            jax.ShapeDtypeStruct((bh, t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
         ],
         interpret=interpret,
     )(lens.astype(jnp.int32), qs, ks, v)
@@ -133,8 +135,8 @@ def _make_dq_kernel(bk: int, scale: float):
 
         q = qs_ref[0, :, :].astype(jnp.float32)
         do = do_ref[0, :, :].astype(jnp.float32)
-        lse = lse_ref[0, :]  # [bq]
-        delta = delta_ref[0, :]  # [bq]
+        lse = lse_ref[0, :, :]  # [bq, 1]
+        delta = delta_ref[0, :, :]  # [bq, 1]
         q_idx = i_q * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
         q_valid = q_idx < valid_len  # [bq, 1]
 
@@ -148,12 +150,12 @@ def _make_dq_kernel(bk: int, scale: float):
             ) * scale
             key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             mask = (key_idx < valid_len) & q_valid
-            p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)
             dp = jax.lax.dot_general(
                 do, v_tile, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [bq, bk]
-            ds = p * (dp - delta[:, None]) * scale
+            ds = p * (dp - delta) * scale
             return acc + jax.lax.dot_general(
                 ds, k_tile, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -185,15 +187,15 @@ def _make_dkv_kernel(bq2: int, scale: float):
             start = i * bq2
             q_tile = qs_ref[0, pl.ds(start, bq2), :].astype(jnp.float32)
             do_tile = do_ref[0, pl.ds(start, bq2), :].astype(jnp.float32)
-            lse = lse_ref[0, pl.ds(start, bq2)]
-            delta = delta_ref[0, pl.ds(start, bq2)]
+            lse = lse_ref[0, pl.ds(start, bq2), :]  # [bq2, 1]
+            delta = delta_ref[0, pl.ds(start, bq2), :]
             s = jax.lax.dot_general(
                 q_tile, k_tile, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [bq2, bk]
             q_idx = start + jax.lax.broadcasted_iota(jnp.int32, (bq2, 1), 0)
             mask = key_valid & (q_idx < valid_len)
-            p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)
             dv_acc = dv_acc + jax.lax.dot_general(
                 p, do_tile, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -202,7 +204,7 @@ def _make_dkv_kernel(bq2: int, scale: float):
                 do_tile, v_tile, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [bq2, bk]
-            ds = p * (dp - delta[:, None]) * scale
+            ds = p * (dp - delta) * scale
             dk_acc = dk_acc + jax.lax.dot_general(
                 ds, q_tile, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -234,8 +236,8 @@ def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
                 pl.BlockSpec((1, t, d1), lambda b, i, lens: (b, 0, 0)),
                 pl.BlockSpec((1, t, dv_dim), lambda b, i, lens: (b, 0, 0)),
                 pl.BlockSpec((1, bq, dv_dim), lambda b, i, lens: (b, i, 0)),
-                pl.BlockSpec((1, bq), lambda b, i, lens: (b, i)),
-                pl.BlockSpec((1, bq), lambda b, i, lens: (b, i)),
+                pl.BlockSpec((1, bq, 1), lambda b, i, lens: (b, i, 0)),
+                pl.BlockSpec((1, bq, 1), lambda b, i, lens: (b, i, 0)),
             ],
             out_specs=pl.BlockSpec((1, bq, d1), lambda b, i, lens: (b, i, 0)),
         ),
@@ -253,8 +255,8 @@ def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
                 pl.BlockSpec((1, bk, d1), lambda b, i, lens: (b, i, 0)),
                 pl.BlockSpec((1, bk, dv_dim), lambda b, i, lens: (b, i, 0)),
                 pl.BlockSpec((1, t, dv_dim), lambda b, i, lens: (b, 0, 0)),
-                pl.BlockSpec((1, t), lambda b, i, lens: (b, 0)),
-                pl.BlockSpec((1, t), lambda b, i, lens: (b, 0)),
+                pl.BlockSpec((1, t, 1), lambda b, i, lens: (b, 0, 0)),
+                pl.BlockSpec((1, t, 1), lambda b, i, lens: (b, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, bk, d1), lambda b, i, lens: (b, i, 0)),
@@ -293,7 +295,8 @@ def _flash_vjp_bwd(bq, bk, scale, interpret, res, g):
     qs, ks, v, lens, o, lse = res
     # delta_i = sum_d dO_i O_i (the softmax-jacobian row term); tiny
     # elementwise+reduce, XLA fuses it — no kernel needed
-    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)  # [bh, t, 1], matching lse's layout
     dq, dk, dv = _flash_bwd_entry(
         qs, ks, v, g, lse, delta, lens, bq, bk, scale, interpret)
     return dq, dk, dv, None
