@@ -173,6 +173,25 @@ def resample_poly(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return _rp(x, frac.numerator, frac.denominator).astype(np.float32)
 
 
+def decode_audio_bytes(data: bytes, hint: str = "") -> tuple[np.ndarray, int]:
+    """Decode an in-memory audio container (WAV/FLAC/MP3/Ogg-Vorbis) by magic
+    bytes -> (float32 [T] or [T, C], sr). `hint` (a filename or extension) is
+    used only in the error message."""
+    from conformer_nemo_tpu.data.codecs import read_mp3_bytes, read_ogg_bytes, sniff_container
+
+    kind = sniff_container(data)
+    if kind == "wav":
+        return read_wav_bytes(data)
+    if kind == "flac":
+        return read_flac_bytes(data)
+    if kind == "mp3":
+        return read_mp3_bytes(data)
+    if kind == "ogg":
+        return read_ogg_bytes(data)
+    raise ValueError(f"unrecognized audio container{f' for {hint}' if hint else ''} "
+                     "(supported: WAV, FLAC, MP3, Ogg/Vorbis)")
+
+
 def load_audio(
     path: str,
     target_sr: int = 16000,
@@ -183,10 +202,22 @@ def load_audio(
 ) -> np.ndarray:
     """Decode + mono-mix + resample + crop (+ optional silence trim) ->
     float32 [T] at target_sr."""
-    if path.lower().endswith(".flac"):
+    lower = path.lower()
+    if lower.endswith(".flac"):
         data, sr = read_flac(path)
-    else:
+    elif lower.endswith(".wav"):
         data, sr = read_wav(path)
+    elif lower.endswith(".mp3"):
+        from conformer_nemo_tpu.data.codecs import read_mp3
+
+        data, sr = read_mp3(path)
+    elif lower.endswith((".ogg", ".oga")):
+        from conformer_nemo_tpu.data.codecs import read_ogg
+
+        data, sr = read_ogg(path)
+    else:
+        with open(path, "rb") as f:
+            data, sr = decode_audio_bytes(f.read(), hint=path)
     if mono and data.ndim > 1:
         data = data.mean(axis=1)
     if offset > 0 or duration > 0:
@@ -217,6 +248,8 @@ def load_audio_pcm16(
                 data = arr.astype(np.int16)
             else:
                 raise _Pcm16Fallback
+        elif not path.lower().endswith(".wav"):
+            raise _Pcm16Fallback  # lossy containers: decode via load_audio
         else:
             with wave.open(path, "rb") as w:
                 if (w.getnchannels() == 1 and w.getsampwidth() == 2

@@ -103,13 +103,9 @@ class TarredAudioTextDataset:
 
     def _decode_member(self, tf: tarfile.TarFile, member: tarfile.TarInfo):
         data = tf.extractfile(member).read()
-        from conformer_nemo_tpu.data.audio_io import (
-            read_flac_bytes, read_wav_bytes, resample_poly)
+        from conformer_nemo_tpu.data.audio_io import decode_audio_bytes, resample_poly
 
-        if data[:4] == b"fLaC":
-            wav, sr = read_flac_bytes(data)
-        else:
-            wav, sr = read_wav_bytes(data)
+        wav, sr = decode_audio_bytes(data, hint=member.name)
         if wav.ndim > 1:
             wav = wav.mean(axis=1)
         wav = resample_poly(wav, sr, self.sample_rate)

