@@ -177,7 +177,8 @@ def decode_audio_bytes(data: bytes, hint: str = "") -> tuple[np.ndarray, int]:
     """Decode an in-memory audio container (WAV/FLAC/MP3/Ogg-Vorbis) by magic
     bytes -> (float32 [T] or [T, C], sr). `hint` (a filename or extension) is
     used only in the error message."""
-    from conformer_nemo_tpu.data.codecs import read_mp3_bytes, read_ogg_bytes, sniff_container
+    from conformer_nemo_tpu.data.codecs import (
+        read_mp3_bytes, read_ogg_bytes, read_opus_bytes, sniff_container)
 
     kind = sniff_container(data)
     if kind == "wav":
@@ -188,8 +189,10 @@ def decode_audio_bytes(data: bytes, hint: str = "") -> tuple[np.ndarray, int]:
         return read_mp3_bytes(data)
     if kind == "ogg":
         return read_ogg_bytes(data)
+    if kind == "opus":
+        return read_opus_bytes(data)
     raise ValueError(f"unrecognized audio container{f' for {hint}' if hint else ''} "
-                     "(supported: WAV, FLAC, MP3, Ogg/Vorbis)")
+                     "(supported: WAV, FLAC, MP3, Ogg/Vorbis, Ogg/Opus)")
 
 
 def load_audio(
@@ -212,9 +215,13 @@ def load_audio(
 
         data, sr = read_mp3(path)
     elif lower.endswith((".ogg", ".oga")):
-        from conformer_nemo_tpu.data.codecs import read_ogg
+        # .ogg containers may hold vorbis or opus: dispatch on magic
+        with open(path, "rb") as f:
+            data, sr = decode_audio_bytes(f.read(), hint=path)
+    elif lower.endswith(".opus"):
+        from conformer_nemo_tpu.data.codecs import read_opus
 
-        data, sr = read_ogg(path)
+        data, sr = read_opus(path)
     else:
         with open(path, "rb") as f:
             data, sr = decode_audio_bytes(f.read(), hint=path)

@@ -54,6 +54,8 @@ def have_codec(name: str) -> bool:
             _mpg123()
         elif name == "ogg":
             _oggshim()
+        elif name == "opus":
+            _opusshim()
         else:
             return False
         return True
@@ -395,16 +397,126 @@ def write_ogg(path: str, samples: np.ndarray, sr: int = 16000,
         vorbis.vorbis_info_clear(vi)
 
 
+# ------------------------------------------------------------- ogg/opus IO
+
+_OPUSSHIM = None
+_OPUSSHIM_ERR: str | None = None
+
+
+def _opusshim():
+    global _OPUSSHIM, _OPUSSHIM_ERR
+    if _OPUSSHIM is not None:
+        return _OPUSSHIM
+    if _OPUSSHIM_ERR is not None:
+        raise RuntimeError(_OPUSSHIM_ERR)
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(root, "native", "codecshim", "opus_mem.c")
+    build = os.path.join(root, "native", "build")
+    so = os.path.join(build, "libopus_mem.so")
+    libopus = _find_codec_so(("libopus",))
+    libogg = _find_codec_so(("libogg",))
+    if libopus is None or libogg is None:
+        _OPUSSHIM_ERR = "libopus/libogg are not available on this host"
+        raise RuntimeError(_OPUSSHIM_ERR)
+    try:
+        os.makedirs(build, exist_ok=True)
+        if not (os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src)):
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", src, libopus, libogg, "-o", so],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.ogg_opus_decode.restype = ctypes.c_int
+        lib.ogg_opus_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.ogg_opus_free.argtypes = [ctypes.POINTER(ctypes.c_int16)]
+        lib.ogg_opus_encode.restype = ctypes.c_int
+        lib.ogg_opus_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.ogg_opus_free_bytes.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _OPUSSHIM = lib
+        return lib
+    except Exception as e:
+        _OPUSSHIM_ERR = f"opus shim unavailable: {e}"
+        raise RuntimeError(_OPUSSHIM_ERR)
+
+
+def read_opus_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an in-memory Ogg/Opus stream -> (float32 [T] or [T, C], 48000).
+
+    Opus always decodes at 48 kHz; callers (load_audio) resample to target."""
+    lib = _opusshim()
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64()
+    ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    rc = lib.ogg_opus_decode(buf, len(data), ctypes.byref(out),
+                             ctypes.byref(n), ctypes.byref(ch), ctypes.byref(sr))
+    if rc != 0:
+        raise ValueError(f"Ogg/Opus decode failed (code {rc})")
+    try:
+        total = n.value * ch.value
+        pcm = np.ctypeslib.as_array(out, shape=(total,)).copy() if total else \
+            np.zeros((0,), np.int16)
+    finally:
+        lib.ogg_opus_free(out)
+    audio = pcm.astype(np.float32) / 32768.0
+    if ch.value > 1:
+        audio = audio.reshape(-1, ch.value)
+    return audio, sr.value
+
+
+def read_opus(path: str) -> tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        return read_opus_bytes(f.read())
+
+
+def write_opus(path: str, samples: np.ndarray, sr: int = 16000,
+               bitrate_bps: int = 64000) -> None:
+    """Encode mono float32 [-1, 1] at sr in {8,12,16,24,48} kHz -> Ogg/Opus."""
+    if sr not in (8000, 12000, 16000, 24000, 48000):
+        raise ValueError(f"opus input rate must be 8/12/16/24/48 kHz, got {sr}")
+    lib = _opusshim()
+    pcm = np.clip(np.ascontiguousarray(samples, np.float32), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype(np.int16)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64()
+    rc = lib.ogg_opus_encode(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(pcm), sr,
+        bitrate_bps, ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        raise RuntimeError(f"Ogg/Opus encode failed (code {rc})")
+    try:
+        data = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.ogg_opus_free_bytes(out)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
 # -------------------------------------------------------- container dispatch
 
 def sniff_container(data: bytes) -> str:
     """Identify an audio container from magic bytes -> 'wav'|'flac'|'mp3'|
-    'ogg'|'unknown'."""
+    'ogg'|'opus'|'unknown'."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:4] == b"fLaC":
         return "flac"
     if data[:4] == b"OggS":
+        # first packet starts after the 27-byte page header + segment table
+        if len(data) > 27:
+            first = 27 + data[26]
+            if data[first: first + 8] == b"OpusHead":
+                return "opus"
         return "ogg"
     if data[:3] == b"ID3":
         return "mp3"

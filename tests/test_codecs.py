@@ -71,6 +71,38 @@ def test_ogg_roundtrip_gapless(tmp_path):
     assert float(np.corrcoef(dec, sig)[0, 1]) > 0.95
 
 
+@pytest.mark.skipif(not codecs.have_codec("opus"), reason="libopus unavailable")
+def test_opus_roundtrip_gapless(tmp_path):
+    """Ogg/Opus (RFC 7845): preskip trimmed, tail gapless via granulepos."""
+    for n in (2 * SR, SR + 137):  # frame-aligned and ragged lengths
+        sig = _speechy(n, seed=7)
+        p = str(tmp_path / "a.opus")
+        codecs.write_opus(p, sig, SR)
+        dec, sr = codecs.read_opus(p)
+        assert sr == 48000  # opus always decodes at 48 kHz
+        assert len(dec) == n * 3  # gapless: exact length back (x3 resample)
+    # decode is time-aligned from sample 0 (preskip removed)
+    out = load_audio(p, target_sr=SR)
+    assert len(out) == len(sig)
+    assert float(np.corrcoef(out, sig)[0, 1]) > 0.9
+
+
+@pytest.mark.skipif(not codecs.have_codec("opus"), reason="libopus unavailable")
+def test_opus_sniffed_vs_vorbis(tmp_path):
+    """Both live in OggS pages; sniffing must tell them apart."""
+    sig = _speechy(SR, seed=8)
+    codecs.write_opus(str(tmp_path / "a.opus"), sig, SR)
+    codecs.write_ogg(str(tmp_path / "v.ogg"), sig, SR)
+    assert codecs.sniff_container((tmp_path / "a.opus").read_bytes()) == "opus"
+    assert codecs.sniff_container((tmp_path / "v.ogg").read_bytes()) == "ogg"
+    # a .ogg extension holding opus still decodes (magic dispatch)
+    import shutil
+
+    shutil.copy(tmp_path / "a.opus", tmp_path / "mislabeled.ogg")
+    out = load_audio(str(tmp_path / "mislabeled.ogg"), target_sr=SR)
+    assert len(out) == len(sig)
+
+
 def test_sniff_and_decode_bytes(tmp_path):
     sig = _speechy(SR, seed=2)
     paths = {}

@@ -22,7 +22,9 @@ def test_package_importable_from_any_cwd(tmp_path):
     """`import conformer_nemo_tpu` must work outside the repo dir (editable
     install or PYTHONPATH) — the CLI scripts rely on it."""
     env = dict(os.environ)
-    env.setdefault("PYTHONPATH", ROOT)
+    # prepend ROOT (the box may already set PYTHONPATH, e.g. the axon site)
+    existing = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = ROOT + (os.pathsep + existing if existing else "")
     r = subprocess.run(
         [sys.executable, "-c",
          "import conformer_nemo_tpu; import conformer_nemo_tpu.api"],
