@@ -337,13 +337,19 @@ class _BaseASRModel:
                 out[j] = r
         return out
 
-    def save_portable(self, path: str, artifacts: Optional[dict] = None):
-        # combined variables dict: batch_norm running stats must travel with
-        # the params or a restored model evaluates with zero-init stats
+    @property
+    def portable_variables(self) -> dict:
+        """Combined variables dict for portable archives: batch_norm running
+        stats must travel with the params or a restored model evaluates with
+        zero-init stats. Every save path (model.save_portable, exp_manager /
+        CLI always_save_portable) must go through this."""
         variables = {"params": self.state.params}
-        if self.state.batch_stats:
+        if getattr(self.state, "batch_stats", None):
             variables["batch_stats"] = self.state.batch_stats
-        save_portable(path, self.raw_cfg, variables, artifacts)
+        return variables
+
+    def save_portable(self, path: str, artifacts: Optional[dict] = None):
+        save_portable(path, self.raw_cfg, self.portable_variables, artifacts)
 
     def export(self, path: str, batch_size: int = 8, seconds: float = 15.0,
                platforms: Optional[Sequence[str]] = None) -> str:
@@ -1048,9 +1054,4 @@ class ConformerTransducer(_BaseASRModel):
         return dec.decode_to_text(enc, enc_lens)
 
     def save_portable(self, path: str, artifacts: Optional[dict] = None):
-        # combined variables dict: batch_norm running stats must travel with
-        # the params or a restored model evaluates with zero-init stats
-        variables = {"params": self.state.params}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
-        save_portable(path, self.raw_cfg, variables, artifacts)
+        save_portable(path, self.raw_cfg, self.portable_variables, artifacts)

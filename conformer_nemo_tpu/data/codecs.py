@@ -163,8 +163,7 @@ def read_mp3(path: str) -> tuple[np.ndarray, int]:
 # callbacks), and a C memory cursor is faster than Python read callbacks
 # anyway.
 
-_OGGSHIM = None
-_OGGSHIM_ERR: str | None = None
+_SHIMS: dict[str, object] = {}
 
 
 def _find_codec_so(stems: tuple[str, ...]) -> str | None:
@@ -180,42 +179,57 @@ def _find_codec_so(stems: tuple[str, ...]) -> str | None:
     return None
 
 
-def _oggshim():
-    global _OGGSHIM, _OGGSHIM_ERR
-    if _OGGSHIM is not None:
-        return _OGGSHIM
-    if _OGGSHIM_ERR is not None:
-        raise RuntimeError(_OGGSHIM_ERR)
+# s16 decode entry points share one signature: (data, len, &out, &n, &ch, &sr)
+_DECODE_S16_ARGTYPES = [
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+    ctypes.POINTER(ctypes.c_int)]
+
+
+def _build_shim(key: str, src_name: str, dep_stems: tuple[str, ...], proto):
+    """Build/load a native/codecshim source on demand, linked against the
+    system codec libraries by full path (flacdec on-demand g++ pattern).
+    `proto(lib)` declares the ctypes prototypes. Failures are cached."""
+    cached = _SHIMS.get(key)
+    if isinstance(cached, str):  # cached failure message
+        raise RuntimeError(cached)
+    if cached is not None:
+        return cached
     import os
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    src = os.path.join(root, "native", "codecshim", "ogg_mem.c")
+    src = os.path.join(root, "native", "codecshim", src_name)
     build = os.path.join(root, "native", "build")
-    so = os.path.join(build, "libogg_mem.so")
-    vorbisfile = _find_codec_so(("libvorbisfile",))
-    if vorbisfile is None:
-        _OGGSHIM_ERR = "libvorbisfile is not available on this host"
-        raise RuntimeError(_OGGSHIM_ERR)
+    so = os.path.join(build, f"lib{key}.so")
+    deps = [_find_codec_so((stem,)) for stem in dep_stems]
+    if any(d is None for d in deps):
+        missing = [s for s, d in zip(dep_stems, deps) if d is None]
+        _SHIMS[key] = f"{'/'.join(missing)} not available on this host"
+        raise RuntimeError(_SHIMS[key])
     try:
         os.makedirs(build, exist_ok=True)
         if not (os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src)):
             subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", src, vorbisfile, "-o", so],
+                ["gcc", "-O2", "-shared", "-fPIC", src, *deps, "-o", so],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
-        lib.ogg_vorbis_decode.restype = ctypes.c_int
-        lib.ogg_vorbis_decode.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int)]
-        lib.ogg_vorbis_free.argtypes = [ctypes.POINTER(ctypes.c_int16)]
-        _OGGSHIM = lib
+        proto(lib)
+        _SHIMS[key] = lib
         return lib
     except Exception as e:  # compiler missing / link failure
-        _OGGSHIM_ERR = f"ogg decode shim unavailable: {e}"
-        raise RuntimeError(_OGGSHIM_ERR)
+        _SHIMS[key] = f"{key} shim unavailable: {e}"
+        raise RuntimeError(_SHIMS[key])
+
+
+def _oggshim():
+    def proto(lib):
+        lib.ogg_vorbis_decode.restype = ctypes.c_int
+        lib.ogg_vorbis_decode.argtypes = _DECODE_S16_ARGTYPES
+        lib.ogg_vorbis_free.argtypes = [ctypes.POINTER(ctypes.c_int16)]
+
+    return _build_shim("ogg_mem", "ogg_mem.c", ("libvorbisfile",), proto)
 
 
 def read_ogg_bytes(data: bytes) -> tuple[np.ndarray, int]:
@@ -399,41 +413,10 @@ def write_ogg(path: str, samples: np.ndarray, sr: int = 16000,
 
 # ------------------------------------------------------------- ogg/opus IO
 
-_OPUSSHIM = None
-_OPUSSHIM_ERR: str | None = None
-
-
 def _opusshim():
-    global _OPUSSHIM, _OPUSSHIM_ERR
-    if _OPUSSHIM is not None:
-        return _OPUSSHIM
-    if _OPUSSHIM_ERR is not None:
-        raise RuntimeError(_OPUSSHIM_ERR)
-    import os
-    import subprocess
-
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    src = os.path.join(root, "native", "codecshim", "opus_mem.c")
-    build = os.path.join(root, "native", "build")
-    so = os.path.join(build, "libopus_mem.so")
-    libopus = _find_codec_so(("libopus",))
-    libogg = _find_codec_so(("libogg",))
-    if libopus is None or libogg is None:
-        _OPUSSHIM_ERR = "libopus/libogg are not available on this host"
-        raise RuntimeError(_OPUSSHIM_ERR)
-    try:
-        os.makedirs(build, exist_ok=True)
-        if not (os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src)):
-            subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", src, libopus, libogg, "-o", so],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(so)
+    def proto(lib):
         lib.ogg_opus_decode.restype = ctypes.c_int
-        lib.ogg_opus_decode.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int)]
+        lib.ogg_opus_decode.argtypes = _DECODE_S16_ARGTYPES
         lib.ogg_opus_free.argtypes = [ctypes.POINTER(ctypes.c_int16)]
         lib.ogg_opus_encode.restype = ctypes.c_int
         lib.ogg_opus_encode.argtypes = [
@@ -441,11 +424,8 @@ def _opusshim():
             ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_int64)]
         lib.ogg_opus_free_bytes.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
-        _OPUSSHIM = lib
-        return lib
-    except Exception as e:
-        _OPUSSHIM_ERR = f"opus shim unavailable: {e}"
-        raise RuntimeError(_OPUSSHIM_ERR)
+
+    return _build_shim("opus_mem", "opus_mem.c", ("libopus", "libogg"), proto)
 
 
 def read_opus_bytes(data: bytes) -> tuple[np.ndarray, int]:

@@ -209,7 +209,10 @@ class BucketedLoader:
     def _plan(self) -> list[tuple[int, list[int]]]:
         """The epoch's batch plan: (bucket, sample indices) in emission order.
         Pure function of (seed, epoch, strategy) — shared by both the serial
-        and the worker paths so parallelism cannot change what is emitted."""
+        and the worker paths so parallelism cannot change what is emitted.
+        Memoized per epoch: __len__ and __iter__ share one construction."""
+        if getattr(self, "_plan_cache", None) is not None and self._plan_cache[0] == self.epoch:
+            return self._plan_cache[1]
         rng = np.random.RandomState(
             self.seed if self.bucketing_strategy == "synced_randomized" else self.seed + self.epoch
         )
@@ -232,6 +235,7 @@ class BucketedLoader:
                 batches.append((b, idxs))
         if self.shuffle:
             rng.shuffle(batches)
+        self._plan_cache = (self.epoch, batches)
         return batches
 
     def __len__(self) -> int:
@@ -306,10 +310,15 @@ class BucketedLoader:
                         except StopIteration:
                             pass
             except BaseException as e:  # surface worker errors in the consumer
-                try:
-                    out.put(("error", e), timeout=1.0)
-                except queue.Full:
-                    pass
+                # retry like the 'done' path: the queue may stay full for
+                # minutes while the consumer compiles — dropping the error
+                # would leave the consumer blocked on out.get() forever
+                while not stop.is_set():
+                    try:
+                        out.put(("error", e), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
                 return
             while not stop.is_set():
                 try:

@@ -338,9 +338,36 @@ class SentencePieceTokenizer:
             j = i
         return ids[::-1]
 
+    @staticmethod
+    def _byte_piece_value(piece: str):
+        """'<0xNN>' byte-fallback piece -> int value, else None."""
+        if (len(piece) == 6 and piece.startswith("<0x") and piece.endswith(">")):
+            try:
+                return int(piece[3:5], 16)
+            except ValueError:
+                return None
+        return None
+
     def ids_to_text(self, ids: List[int]) -> str:
-        text = "".join(self.pieces[i] for i in ids if 0 <= i < len(self.pieces))
-        return text.replace(_SP_SPACE, " ").strip()
+        # byte-fallback pieces must be reassembled into UTF-8 bytes (real
+        # sentencepiece DecodePieces semantics), not emitted as '<0xNN>' text
+        out: List[str] = []
+        byte_buf = bytearray()
+        for i in ids:
+            if not (0 <= i < len(self.pieces)):
+                continue
+            p = self.pieces[i]
+            b = self._byte_piece_value(p) if self.byte_fallback else None
+            if b is not None:
+                byte_buf.append(b)
+                continue
+            if byte_buf:
+                out.append(byte_buf.decode("utf-8", errors="replace"))
+                byte_buf.clear()
+            out.append(p)
+        if byte_buf:
+            out.append(byte_buf.decode("utf-8", errors="replace"))
+        return "".join(out).replace(_SP_SPACE, " ").strip()
 
     def ids_to_tokens(self, ids: List[int]) -> List[str]:
         return [self.pieces[i] for i in ids if 0 <= i < len(self.pieces)]

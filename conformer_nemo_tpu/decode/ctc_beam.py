@@ -100,6 +100,14 @@ class BeamSearchDecoderWithLM:
                 else:
                     write_cache = True
             handle = self._lib.ctc_lm_load(load_path.encode())
+            if not handle and load_path != lm_path:
+                # stale/corrupt cache: drop it and fall back to the ARPA text
+                try:
+                    os.remove(load_path)
+                except OSError:
+                    pass
+                load_path, write_cache = lm_path, True
+                handle = self._lib.ctc_lm_load(load_path.encode())
             if not handle:
                 raise ValueError(f"failed to load ARPA LM from {load_path}")
             self._lm = ctypes.c_void_p(handle)

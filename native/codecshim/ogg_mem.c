@@ -100,7 +100,12 @@ int ogg_vorbis_decode(const unsigned char *data, int64_t len, int16_t **out,
     }
     long n = ov_read(vf, buf + used, (int)(cap - used), 0, 2, 1, &bitstream);
     if (n == 0) break;
-    if (n < 0) continue; /* OV_HOLE: recoverable gap */
+    if (n == -3 /* OV_HOLE */) continue; /* recoverable sync gap */
+    if (n < 0) { /* OV_EBADLINK etc: corrupt stream — fail, don't spin */
+      free(buf);
+      ov_clear(vf);
+      return (int)n;
+    }
     used += (size_t)n;
   }
   ov_clear(vf);

@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <limits>
@@ -126,46 +127,79 @@ class ArpaLM {
   }
 
   bool SaveBinary(const std::string& path) const {
-    std::ofstream out(path, std::ios::binary);
-    if (!out) return false;
-    out.write("CNLM0001", 8);
-    auto w64 = [&](uint64_t v) { out.write(reinterpret_cast<char*>(&v), 8); };
-    auto wd = [&](double v) { out.write(reinterpret_cast<char*>(&v), 8); };
-    w64(static_cast<uint64_t>(max_order_));
-    w64(vocab_.size());
-    for (const auto& kv : vocab_) {
-      w64(kv.first.size());
-      out.write(kv.first.data(), static_cast<std::streamsize>(kv.first.size()));
-      w64(kv.second);
+    // write-then-rename: a crash mid-write must not leave a truncated file
+    // with a valid magic at the final path (it would shadow the ARPA).
+    const std::string tmp = path + ".tmp";
+    {
+      std::ofstream out(tmp, std::ios::binary | std::ios::trunc);
+      if (!out) return false;
+      out.write("CNLM0001", 8);
+      auto w64 = [&](uint64_t v) { out.write(reinterpret_cast<char*>(&v), 8); };
+      auto wd = [&](double v) { out.write(reinterpret_cast<char*>(&v), 8); };
+      w64(static_cast<uint64_t>(max_order_));
+      w64(vocab_.size());
+      for (const auto& kv : vocab_) {
+        w64(kv.first.size());
+        out.write(kv.first.data(), static_cast<std::streamsize>(kv.first.size()));
+        w64(kv.second);
+      }
+      w64(probs_.size());
+      for (const auto& kv : probs_) { w64(kv.first); wd(kv.second); }
+      w64(backoffs_.size());
+      for (const auto& kv : backoffs_) { w64(kv.first); wd(kv.second); }
+      if (!out) { std::remove(tmp.c_str()); return false; }
     }
-    w64(probs_.size());
-    for (const auto& kv : probs_) { w64(kv.first); wd(kv.second); }
-    w64(backoffs_.size());
-    for (const auto& kv : backoffs_) { w64(kv.first); wd(kv.second); }
-    return static_cast<bool>(out);
+    if (std::rename(tmp.c_str(), path.c_str()) != 0) {
+      std::remove(tmp.c_str());
+      return false;
+    }
+    return true;
   }
 
   bool LoadBinary(const std::string& path) {
-    std::ifstream in(path, std::ios::binary);
+    std::ifstream in(path, std::ios::binary | std::ios::ate);
     if (!in) return false;
+    const uint64_t file_size = static_cast<uint64_t>(in.tellg());
+    in.seekg(0);
     char m[8];
     in.read(m, 8);
     if (in.gcount() != 8 || std::memcmp(m, "CNLM0001", 8) != 0) return false;
-    auto r64 = [&]() { uint64_t v = 0; in.read(reinterpret_cast<char*>(&v), 8); return v; };
-    auto rd = [&]() { double v = 0; in.read(reinterpret_cast<char*>(&v), 8); return v; };
+    bool bad = false;
+    auto r64 = [&]() {
+      uint64_t v = 0;
+      in.read(reinterpret_cast<char*>(&v), 8);
+      if (in.gcount() != 8) bad = true;
+      return v;
+    };
+    auto rd = [&]() {
+      double v = 0;
+      in.read(reinterpret_cast<char*>(&v), 8);
+      if (in.gcount() != 8) bad = true;
+      return v;
+    };
+    // every count/length is bounded by the file size: a truncated or
+    // corrupted cache must fail cleanly, not throw bad_alloc through the
+    // extern "C" boundary.
+    auto plausible = [&](uint64_t n, uint64_t unit) {
+      return !bad && n <= file_size / (unit ? unit : 1);
+    };
     max_order_ = static_cast<int>(r64());
     uint64_t nv = r64();
+    if (!plausible(nv, 16)) return false;
     vocab_.clear();
     vocab_.reserve(nv);
     std::string word;
     for (uint64_t i = 0; i < nv; ++i) {
       uint64_t len = r64();
+      if (!plausible(len, 1)) return false;
       word.resize(len);
       in.read(&word[0], static_cast<std::streamsize>(len));
+      if (static_cast<uint64_t>(in.gcount()) != len) return false;
       uint64_t id = r64();
       vocab_.emplace(word, static_cast<uint32_t>(id));
     }
     uint64_t np = r64();
+    if (!plausible(np, 16)) return false;
     probs_.clear();
     probs_.reserve(np);
     for (uint64_t i = 0; i < np; ++i) {
@@ -173,13 +207,14 @@ class ArpaLM {
       probs_.emplace(k, rd());
     }
     uint64_t nb = r64();
+    if (!plausible(nb, 16)) return false;
     backoffs_.clear();
     backoffs_.reserve(nb);
     for (uint64_t i = 0; i < nb; ++i) {
       uint64_t k = r64();
       backoffs_.emplace(k, rd());
     }
-    return static_cast<bool>(in) && max_order_ > 0;
+    return !bad && static_cast<bool>(in) && max_order_ > 0;
   }
 
  private:

@@ -36,7 +36,7 @@ def main():
     )
     print(f"done: {result}")
     if em is not None and em.cfg.always_save_portable:
-        print("portable:", em.save_portable(model.raw_cfg, model.state.params))
+        print("portable:", em.save_portable(model.raw_cfg, model.portable_variables))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,8 @@ def main():
         exp_manager=em,
     )
     print(f"done: {result}")
+    if em is not None and em.cfg.always_save_portable:
+        print("portable:", em.save_portable(model.raw_cfg, model.portable_variables))
 
 
 if __name__ == "__main__":

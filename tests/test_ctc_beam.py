@@ -195,3 +195,41 @@ ngram 2=3
     d3 = BeamSearchDecoderWithLM(vocab, beam_width=8, alpha=1.0, beta=0.5,
                                  lm_path=cache)
     assert d3._decode_one(lp, nbest=4) == out1
+
+
+def test_lm_corrupt_binary_cache_falls_back_to_arpa(tmp_path):
+    """A truncated/garbage .binlm (e.g. crash mid-write) must not break LM
+    loading: the loader drops the bad cache and re-parses the ARPA."""
+    import os
+
+    import numpy as np
+
+    from conformer_nemo_tpu.decode.ctc_beam import BeamSearchDecoderWithLM
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=3\n\n\\1-grams:\n"
+        "-0.5\t<s>\t-0.3\n-0.7\t</s>\n-0.4\tab\n\n\\end\\\n")
+    vocab = ["a", "b", " "]
+    rng = np.random.RandomState(0)
+    lp = np.log(np.full((6, 4), 0.05, np.float32))
+    for t in range(6):
+        lp[t, rng.randint(0, 4)] = np.log(0.85)
+
+    d_ref = BeamSearchDecoderWithLM(vocab, beam_width=8, alpha=1.0, beta=0.5,
+                                    lm_path=str(arpa), lm_binary_cache=False)
+    ref = d_ref._decode_one(lp, nbest=2)
+
+    cache = str(arpa) + ".binlm"
+    for garbage in (b"CNLM0001" + b"\xff" * 64,   # valid magic, absurd counts
+                    b"CNLM0001" + b"\x02" * 8):   # valid magic, truncated
+        with open(cache, "wb") as f:
+            f.write(garbage)
+        os.utime(cache)  # newer than the ARPA -> cache is preferred
+        d = BeamSearchDecoderWithLM(vocab, beam_width=8, alpha=1.0, beta=0.5,
+                                    lm_path=str(arpa))
+        assert d._decode_one(lp, nbest=2) == ref
+        # the rewritten cache is valid now (fallback re-parsed + re-saved)
+        d2 = BeamSearchDecoderWithLM(vocab, beam_width=8, alpha=1.0, beta=0.5,
+                                     lm_path=str(arpa))
+        assert d2._decode_one(lp, nbest=2) == ref

@@ -132,6 +132,23 @@ def test_byte_fallback(tmp_path):
     assert toks == [SP, "a", "<0xC3>", "<0xA9>"]
 
 
+def test_byte_fallback_decode_roundtrip(tmp_path):
+    """ids_to_text reassembles '<0xNN>' pieces into UTF-8 bytes (real
+    sentencepiece DecodePieces semantics), not literal '<0xNN>' text."""
+    pieces = [("<unk>", 0.0, 2), (SP, 0.0, 1), ("a", 0.0, 1)]
+    pieces += [("<0x%02X>" % b, 0.0, 6) for b in range(256)]
+    tok = _write(tmp_path, pieces, model_type=2, byte_fallback=True)
+    ids = tok.text_to_ids("aé")
+    assert tok.ids_to_text(ids) == "aé"
+    # multi-char OOV run (CJK: 3 bytes each) reassembles too
+    ids = tok.text_to_ids("a语音")
+    assert tok.ids_to_text(ids) == "a语音"
+    # a non-byte-fallback model keeps literal pieces untouched
+    tok2 = _write(tmp_path, [("<unk>", 0.0, 2), (SP, 0.0, 1), ("a", 0.0, 1),
+                             ("<0xC3>", 0.0, 1)], model_type=2)
+    assert tok2.ids_to_text([3]) == "<0xC3>"
+
+
 def test_control_pieces_never_match(tmp_path):
     pieces = [("<unk>", 0.0, 2), (SP, 0.0, 1), ("a", 0.0, 1),
               ("<s>", 10.0, 3)]
