@@ -260,7 +260,9 @@ def bench_rnnt_decode(jax, jnp, rnnt_cfg, rnnt_state):
         variables["batch_stats"] = rnnt_state.batch_stats
 
     @jax.jit
-    def decode(batch):
+    def decode(variables, batch):
+        # variables must be an ARGUMENT: closed-over params embed as HLO
+        # constants (~0.5 GB serialized program -> remote compile HTTP 413)
         feats, feat_lens = log_mel_spectrogram(
             rnnt_cfg.preprocessor, batch["audio"], batch["audio_lens"], training=False)
         enc, enc_lens = model.apply(
@@ -275,10 +277,10 @@ def bench_rnnt_decode(jax, jnp, rnnt_cfg, rnnt_state):
         "audio": (rng.randn(BATCH, t_samples) * 0.1).astype(np.float32),
         "audio_lens": np.full((BATCH,), t_samples, np.int32),
     })
-    int(decode(batch).sum())
+    int(decode(variables, batch).sum())
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        lens = decode(batch)
+        lens = decode(variables, batch)
     int(lens.sum())
     dt = time.perf_counter() - t0
     return BATCH * SECONDS * ITERS / dt

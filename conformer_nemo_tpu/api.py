@@ -575,12 +575,14 @@ class ConformerCTC(_BaseASRModel):
             variables["batch_stats"] = state.batch_stats
 
         @jax.jit
-        def _fwd(feats, lens):
+        def _fwd(variables, feats, lens):
+            # variables as an ARGUMENT: closed-over params would be embedded
+            # as HLO constants (hundreds of MB for large models)
             log_probs, _ = model.apply(variables, feats, lens, train=False)
             return jnp.argmax(log_probs, axis=-1)
 
         def forward_fn(feats, lens):
-            return _fwd(jnp.asarray(feats, jnp.float32),
+            return _fwd(variables, jnp.asarray(feats, jnp.float32),
                         jnp.asarray(lens, jnp.int32))
 
         def feature_fn(samples):
@@ -852,14 +854,13 @@ class ConformerTransducer(_BaseASRModel):
             from conformer_nemo_tpu.models.rnnt import RNNTModel
 
             model = RNNTModel(self.cfg.model)
-            variables = {"params": self.state.params}
-            if self.state.batch_stats:
-                variables["batch_stats"] = self.state.batch_stats
             pre = self.cfg.preprocessor
             max_symbols = self._max_symbols
 
             @jax.jit
-            def _step(audio, lens):
+            def _step(variables, audio, lens):
+                # variables as an ARGUMENT (not a closure): closed-over params
+                # are embedded as HLO constants — ~0.5 GB program for large
                 feats, fl = log_mel_spectrogram(pre, audio, lens, training=False)
                 enc, enc_lens = model.apply(variables, feats, fl, train=False,
                                             method=RNNTModel.encode)
@@ -869,8 +870,11 @@ class ConformerTransducer(_BaseASRModel):
 
             self._hyp_step = _step
             self._hyp_state_id = id(self.state)
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
         toks, tlens, steps = self._hyp_step(
-            jnp.asarray(audio, jnp.float32), jnp.asarray(lens, jnp.int32))
+            variables, jnp.asarray(audio, jnp.float32), jnp.asarray(lens, jnp.int32))
         return np.asarray(toks), np.asarray(tlens), np.asarray(steps)
 
     def transcribe_with_timestamps(self, audio_paths: Sequence[str],
@@ -928,7 +932,9 @@ class ConformerTransducer(_BaseASRModel):
             variables["batch_stats"] = state.batch_stats
 
         @jax.jit
-        def _decode(feats, lens):
+        def _decode(variables, feats, lens):
+            # variables as an ARGUMENT: closed-over params would be embedded
+            # as HLO constants (hundreds of MB for large models)
             enc, enc_lens = model.apply(variables, feats, lens, train=False,
                                         method=RNNTModel.encode)
             return rnnt_greedy_decode_batched(
@@ -936,7 +942,7 @@ class ConformerTransducer(_BaseASRModel):
                 max_symbols=self._max_symbols)
 
         def decode_fn(feats, lens):
-            return _decode(jnp.asarray(feats, jnp.float32),
+            return _decode(variables, jnp.asarray(feats, jnp.float32),
                            jnp.asarray(lens, jnp.int32))
 
         def feature_fn(samples):
