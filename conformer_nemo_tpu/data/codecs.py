@@ -22,6 +22,8 @@ RuntimeError when a codec library is absent from the host.
 from __future__ import annotations
 
 import ctypes
+import threading
+
 import numpy as np
 
 # ---------------------------------------------------------------- lib loading
@@ -164,6 +166,7 @@ def read_mp3(path: str) -> tuple[np.ndarray, int]:
 # anyway.
 
 _SHIMS: dict[str, object] = {}
+_SHIM_BUILD_LOCK = threading.Lock()
 
 
 def _find_codec_so(stems: tuple[str, ...]) -> str | None:
@@ -191,36 +194,48 @@ def _build_shim(key: str, src_name: str, dep_stems: tuple[str, ...], proto):
     """Build/load a native/codecshim source on demand, linked against the
     system codec libraries by full path (flacdec on-demand g++ pattern).
     `proto(lib)` declares the ctypes prototypes. Failures are cached."""
-    cached = _SHIMS.get(key)
-    if isinstance(cached, str):  # cached failure message
-        raise RuntimeError(cached)
-    if cached is not None:
-        return cached
-    import os
-    import subprocess
+    # serialize first-use builds: loader worker threads can hit this
+    # concurrently, and two gcc processes writing the same .so (gcc truncates
+    # in place) would CDLL a torn file and cache a permanent failure
+    with _SHIM_BUILD_LOCK:
+        cached = _SHIMS.get(key)
+        if isinstance(cached, str):  # cached failure message
+            raise RuntimeError(cached)
+        if cached is not None:
+            return cached
+        import os
+        import subprocess
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    src = os.path.join(root, "native", "codecshim", src_name)
-    build = os.path.join(root, "native", "build")
-    so = os.path.join(build, f"lib{key}.so")
-    deps = [_find_codec_so((stem,)) for stem in dep_stems]
-    if any(d is None for d in deps):
-        missing = [s for s, d in zip(dep_stems, deps) if d is None]
-        _SHIMS[key] = f"{'/'.join(missing)} not available on this host"
-        raise RuntimeError(_SHIMS[key])
-    try:
-        os.makedirs(build, exist_ok=True)
-        if not (os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src)):
-            subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", src, *deps, "-o", so],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(so)
-        proto(lib)
-        _SHIMS[key] = lib
-        return lib
-    except Exception as e:  # compiler missing / link failure
-        _SHIMS[key] = f"{key} shim unavailable: {e}"
-        raise RuntimeError(_SHIMS[key])
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        src = os.path.join(root, "native", "codecshim", src_name)
+        build = os.path.join(root, "native", "build")
+        so = os.path.join(build, f"lib{key}.so")
+        deps = [_find_codec_so((stem,)) for stem in dep_stems]
+        if any(d is None for d in deps):
+            missing = [s for s, d in zip(dep_stems, deps) if d is None]
+            _SHIMS[key] = f"{'/'.join(missing)} not available on this host"
+            raise RuntimeError(_SHIMS[key])
+        try:
+            os.makedirs(build, exist_ok=True)
+            if not (os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src)):
+                # compile to a private temp name, then atomic-rename into
+                # place (other PROCESSES may be racing on the same path)
+                tmp = f"{so}.tmp.{os.getpid()}"
+                try:
+                    subprocess.run(
+                        ["gcc", "-O2", "-shared", "-fPIC", src, *deps, "-o", tmp],
+                        check=True, capture_output=True)
+                    os.replace(tmp, so)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+            lib = ctypes.CDLL(so)
+            proto(lib)
+            _SHIMS[key] = lib
+            return lib
+        except Exception as e:  # compiler missing / link failure
+            _SHIMS[key] = f"{key} shim unavailable: {e}"
+            raise RuntimeError(_SHIMS[key])
 
 
 def _oggshim():

@@ -357,7 +357,10 @@ class SentencePieceTokenizer:
             if not (0 <= i < len(self.pieces)):
                 continue
             p = self.pieces[i]
-            b = self._byte_piece_value(p) if self.byte_fallback else None
+            # classify by piece TYPE (6 = BYTE), matching real sentencepiece
+            # DecodePieces: a USER_DEFINED/NORMAL piece literally spelled
+            # '<0xNN>' must NOT be consumed as a raw byte
+            b = self._byte_piece_value(p) if self.types[i] == 6 else None
             if b is not None:
                 byte_buf.append(b)
                 continue

@@ -1,0 +1,137 @@
+"""bench.py must be un-killable as an evidence channel.
+
+The driver parses the LAST JSON line of bench.py's stdout and records it as
+the round's performance evidence; round 2's entire perf delta was lost when a
+driver timeout killed the bench before its single end-of-run print. These
+tests exercise the orchestrator's contract with fake sections (no jax, no
+TPU): cumulative JSON after every section, per-section timeout containment,
+budget-based skipping, and survival of a hard kill of the orchestrator
+itself.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+
+
+def _run(env_overrides, timeout=120):
+    env = dict(os.environ)
+    env.update(env_overrides)
+    r = subprocess.run([sys.executable, BENCH], capture_output=True, text=True,
+                       timeout=timeout, env=env)
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    return r, lines
+
+
+def test_cumulative_json_after_every_section():
+    r, lines = _run({
+        "BENCH_SECTIONS": "fake_ok_a,fake_ok_b",
+        "BENCH_BUDGET_S": "300",
+        "BENCH_MIN_SECTION_S": "5",
+    })
+    assert r.returncode == 0
+    # one cumulative line per section + the final repeat
+    assert len(lines) >= 3
+    assert json.loads(lines[0]) == {"fake_ok_a": 1}
+    final = json.loads(lines[-1])
+    assert final == {"fake_ok_a": 1, "fake_ok_b": 1}
+
+
+def test_section_timeout_does_not_lose_prior_evidence():
+    r, lines = _run({
+        "BENCH_SECTIONS": "fake_ok_a,fake_sleep,fake_ok_b",
+        "BENCH_FAKE_SLEEP_S": "60",
+        "BENCH_SECTION_TIMEOUT_S": "8",
+        "BENCH_MIN_SECTION_S": "1",
+        "BENCH_BUDGET_S": "300",
+    })
+    assert r.returncode == 0
+    final = json.loads(lines[-1])
+    assert final["fake_ok_a"] == 1
+    assert final["fake_sleep"].startswith("error: timeout")
+    # a (non-TPU) section timeout must not block later sections
+    assert final["fake_ok_b"] == 1
+
+
+def test_section_failure_recorded_and_run_continues():
+    r, lines = _run({
+        "BENCH_SECTIONS": "fake_fail,fake_ok_a",
+        "BENCH_BUDGET_S": "300",
+        "BENCH_MIN_SECTION_S": "5",
+    })
+    assert r.returncode == 0
+    final = json.loads(lines[-1])
+    assert final["fake_fail"].startswith("error: rc=")
+    assert final["fake_ok_a"] == 1
+
+
+def test_budget_exhaustion_skips_instead_of_overrunning():
+    r, lines = _run({
+        "BENCH_SECTIONS": "fake_ok_a,fake_ok_b",
+        "BENCH_BUDGET_S": "0",
+    })
+    assert r.returncode == 0
+    final = json.loads(lines[-1])
+    skipped = " ".join(final.get("skipped", []))
+    assert "fake_ok_a (budget)" in skipped and "fake_ok_b (budget)" in skipped
+
+
+def test_hard_kill_mid_run_leaves_valid_last_json_line():
+    """Simulates the driver's SIGKILL landing mid-bench: whatever was printed
+    before the kill must already be complete, parseable evidence."""
+    env = dict(os.environ)
+    env.update({
+        "BENCH_SECTIONS": "fake_ok_a,fake_sleep",
+        "BENCH_FAKE_SLEEP_S": "60",
+        "BENCH_SECTION_TIMEOUT_S": "120",
+        "BENCH_MIN_SECTION_S": "1",
+        "BENCH_BUDGET_S": "300",
+    })
+    p = subprocess.Popen([sys.executable, BENCH], stdout=subprocess.PIPE,
+                         stderr=subprocess.DEVNULL, text=True, env=env)
+    try:
+        first = None
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            line = p.stdout.readline()
+            if not line:
+                break
+            if line.startswith("{"):
+                first = line
+                break
+        assert first is not None, "no JSON line before kill"
+        # the fake_sleep section subprocess is now running; kill the
+        # orchestrator exactly as the driver would (kill by PID, never by
+        # pattern)
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=30)
+        assert json.loads(first) == {"fake_ok_a": 1}
+    finally:
+        if p.poll() is None:
+            p.kill()
+        p.wait(timeout=30)
+        # reap the orphaned fake_sleep child if any (it exits on its own
+        # after BENCH_FAKE_SLEEP_S; nothing to do — it holds no device)
+
+
+def test_real_sections_resolve():
+    """Every default section name must resolve in run_section's dispatch
+    (guards a rename desync between _DEFAULT_SECTIONS and run_section)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    import inspect
+
+    src = inspect.getsource(bench.run_section)
+    for name in bench._DEFAULT_SECTIONS:
+        assert f'"{name}"' in src, name
+    assert set(bench._TPU_SECTIONS) <= set(bench._DEFAULT_SECTIONS)
