@@ -86,5 +86,7 @@ def make_tiny_setup(mesh):
         lambda key: init_ctc_state(cfg, opt, key, (1, FEAT, 16)),
         out_shardings=rep,
     )(jax.random.PRNGKey(0))
-    step = make_ctc_train_step(cfg, opt, mesh=mesh)
+    # state_template arms tensor-parallel in/out shardings when the mesh has
+    # a 'model' axis > 1 (no effect on the pure-dp mesh)
+    step = make_ctc_train_step(cfg, opt, mesh=mesh, state_template=state)
     return state, step

@@ -1,12 +1,16 @@
-"""Worker process for the real multi-process test (test_multiprocess.py).
+"""Worker process for the real multi-process tests (test_multiprocess.py).
 
 Each OS process: jax.distributed.initialize (CPU backend, local coordinator)
--> 4 virtual devices -> global 8-device 'data' mesh -> loads ITS
-process_index shard via BucketedLoader -> assembles the global batch ->
-runs one sharded CTC train step -> writes the (replicated) loss.
+-> 4 virtual devices -> global 8-device mesh -> loads ITS process_index
+shard via BucketedLoader -> assembles the global batch -> runs one sharded
+CTC train step -> writes the (replicated) loss.
 
-Mirrors the reference's 2-GPU DDP CI job (`/root/reference/Jenkinsfile:84-89`,
-`nemo/utils/distributed.py:22`).
+The mesh is ('data', 'model'): with model_axis=1 this is the pure-DP
+configuration (the reference's 2-GPU DDP CI job, `/root/reference/
+Jenkinsfile:84-89`, `nemo/utils/distributed.py:22`); with model_axis=2 it
+combines process-level distribution WITH tensor parallelism (dp=4 x tp=2
+across the 2 processes) — params are sharded over 'model' by shard_state and
+the step's collectives cross the process boundary.
 """
 
 import json
@@ -20,6 +24,7 @@ def main():
     port = int(sys.argv[3])
     corpus = sys.argv[4]
     outfile = sys.argv[5]
+    model_axis = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ.pop("JAX_PLATFORMS", None)
@@ -35,12 +40,24 @@ def main():
     assert app.global_device_count == 4 * nproc
 
     import numpy as np
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from distributed_common import LOCAL_BATCH, load_local_batch, make_tiny_setup
+    from conformer_nemo_tpu.parallel.mesh import make_mesh
 
-    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n_dev = app.global_device_count
+    mesh = make_mesh(data=n_dev // model_axis, model=model_axis,
+                     devices=jax.devices())
     state, step = make_tiny_setup(mesh)
+    if model_axis > 1:
+        from conformer_nemo_tpu.parallel.sharding import shard_state
+
+        with mesh:
+            state = shard_state(mesh, state)
+        # at least one param actually carries the 'model' axis across the
+        # process boundary (addressable shards are a strict subset)
+        specs = [leaf.sharding.spec for leaf in jax.tree.leaves(state.params)]
+        assert any(s and any(s) for s in specs), specs
 
     local = load_local_batch(corpus, process_index=pi, process_count=pc)
     sh = NamedSharding(mesh, P("data"))
@@ -52,7 +69,7 @@ def main():
     state, metrics = step(state, global_batch)
     loss = float(metrics["loss"])
     with open(outfile, "w") as f:
-        json.dump({"rank": rank, "loss": loss,
+        json.dump({"rank": rank, "loss": loss, "model_axis": model_axis,
                    "devices": app.global_device_count}, f)
 
 

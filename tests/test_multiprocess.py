@@ -1,14 +1,17 @@
-"""REAL multi-process data parallelism: 2 OS processes, jax.distributed.
+"""REAL multi-process distributed training: 2 OS processes, jax.distributed.
 
 Spawns two workers that each call `jax.distributed.initialize` (CPU backend,
 local coordinator), load their own `process_index` manifest shard, assemble
 the global batch with `make_array_from_process_local_data`, and run one
 sharded train step. Asserts:
   * both ranks compute the SAME loss (it is a replicated global scalar);
-  * that loss equals a single-process run over the concatenated shards.
+  * that loss equals a single-process run over the concatenated shards;
+  * the same holds when the mesh combines process-level distribution with
+    the tensor-parallel 'model' axis (dp=4 x tp=2 across 2 processes).
 
 Reference analogue: the 2-GPU DDP CI stage (`Jenkinsfile:84-89`) exercising
-`nemo/utils/distributed.py:22`.
+`nemo/utils/distributed.py:22`; the dp x tp case exceeds the reference's ASR
+path (SURVEY.md §2.7 TP row).
 """
 
 import json
@@ -31,33 +34,30 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_data_parallel(tmp_path):
-    manifest = build_corpus(str(tmp_path / "corpus"))
+def _run_workers(tmp_path, manifest, model_axis):
     port = _free_port()
-
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = ROOT + os.pathsep + os.path.join(ROOT, "tests")
     procs, outs = [], []
     for rank in range(2):
-        out = str(tmp_path / f"rank{rank}.json")
+        out = str(tmp_path / f"rank{rank}_tp{model_axis}.json")
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(ROOT, "tests", "distributed_worker.py"),
-             str(rank), "2", str(port), manifest, out],
+             str(rank), "2", str(port), manifest, out, str(model_axis)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    results = []
     for p in procs:
         stdout, stderr = p.communicate(timeout=560)
         assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
+    results = []
     for out in outs:
         with open(out) as f:
             results.append(json.load(f))
+    return results
 
-    assert results[0]["devices"] == results[1]["devices"] == 8
-    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
 
-    # single-process reference over the SAME global batch (conftest gives
-    # this process its own virtual 8-device cpu mesh)
+def _single_process_reference(manifest):
+    """Same global batch on this process's own virtual 8-device dp mesh."""
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -71,7 +71,32 @@ def test_two_process_data_parallel(tmp_path):
     sh = NamedSharding(mesh, P("data"))
     batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
     state, metrics = step(state, batch)
-    ref_loss = float(metrics["loss"])
+    return float(metrics["loss"])
 
+
+def test_two_process_data_parallel(tmp_path):
+    manifest = build_corpus(str(tmp_path / "corpus"))
+    results = _run_workers(tmp_path, manifest, model_axis=1)
+
+    assert results[0]["devices"] == results[1]["devices"] == 8
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    ref_loss = _single_process_reference(manifest)
     assert results[0]["loss"] == pytest.approx(ref_loss, rel=1e-5), (
         f"distributed loss {results[0]['loss']} != single-process {ref_loss}")
+
+
+def test_two_process_dp_times_tp(tmp_path):
+    """2 OS processes x 4 devices arranged dp=4 x tp=2: tensor-parallel
+    params sharded ACROSS the process boundary, same loss as pure dp."""
+    manifest = build_corpus(str(tmp_path / "corpus"))
+    results = _run_workers(tmp_path, manifest, model_axis=2)
+
+    assert results[0]["devices"] == results[1]["devices"] == 8
+    assert results[0]["model_axis"] == 2
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # TP must not change the math: compare to the dp-only single-process run
+    ref_loss = _single_process_reference(manifest)
+    assert results[0]["loss"] == pytest.approx(ref_loss, rel=1e-4), (
+        f"dp x tp loss {results[0]['loss']} != dp reference {ref_loss}")
