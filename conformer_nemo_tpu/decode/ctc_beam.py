@@ -49,6 +49,9 @@ def _load():
             lib.ctc_lm_free.argtypes = [ctypes.c_void_p]
             lib.ctc_lm_save_binary.restype = ctypes.c_int
             lib.ctc_lm_save_binary.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.ctc_lm_score_word.restype = ctypes.c_double
+            lib.ctc_lm_score_word.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
             lib.ctc_beam_search.restype = ctypes.c_int
             lib.ctc_beam_search.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -91,6 +94,20 @@ class BeamSearchDecoderWithLM:
         self._lib = _load()
         self._lm = None
         if lm_path:
+            from conformer_nemo_tpu.decode.kenlm_binary import (
+                is_kenlm_binary, parse_header)
+
+            if is_kenlm_binary(lm_path):
+                hdr = parse_header(lm_path)
+                raise ValueError(
+                    f"{lm_path} is a {hdr.describe() if hdr else 'KenLM binary'}. "
+                    "This framework's scorer consumes ARPA text (plus its own "
+                    ".binlm cache, built automatically on first ARPA load). "
+                    "KenLM binaries are compiled FROM an ARPA with kenlm's "
+                    "build_binary and kenlm ships no reverse converter: pass "
+                    "the source .arpa here instead, or rebuild one with "
+                    f"`lmplz -o {(hdr.order if hdr and hdr.order else 'N')} "
+                    "<corpus.txt >lm.arpa`.")
             load_path, write_cache = lm_path, False
             if lm_binary_cache and not lm_path.endswith(".binlm"):
                 cache = lm_path + ".binlm"
@@ -120,6 +137,14 @@ class BeamSearchDecoderWithLM:
     def __del__(self):
         if getattr(self, "_lm", None) and getattr(self, "_lib", None):
             self._lib.ctc_lm_free(self._lm)
+
+    def lm_score(self, context: Sequence[str], word: str) -> float:
+        """log10 P(word | context) from the loaded ARPA LM (Katz backoff).
+        Differential-test surface against real KenLM; raises without an LM."""
+        if self._lm is None:
+            raise ValueError("no LM loaded")
+        return float(self._lib.ctc_lm_score_word(
+            self._lm, " ".join(context).encode(), word.encode()))
 
     def _decode_one(self, log_probs: np.ndarray, nbest: int) -> List[Tuple[str, float]]:
         lp = np.ascontiguousarray(log_probs, dtype=np.float32)

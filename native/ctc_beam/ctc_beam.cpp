@@ -437,6 +437,19 @@ void* ctc_lm_load(const char* arpa_path) {
 
 void ctc_lm_free(void* lm) { delete static_cast<ArpaLM*>(lm); }
 
+// log10 P(word | context) with Katz backoff; context is a space-separated
+// word string ("" = unigram). Exposes the scorer for differential tests
+// against real KenLM (tests/test_kenlm_differential.py) and for debugging.
+double ctc_lm_score_word(void* lm_handle, const char* context_joined,
+                         const char* word) {
+  const auto* lm = static_cast<const ArpaLM*>(lm_handle);
+  std::vector<uint32_t> ctx;
+  std::istringstream ss(context_joined);
+  std::string w;
+  while (ss >> w) ctx.push_back(lm->LookupId(w));
+  return lm->Score(ctx, lm->LookupId(word));
+}
+
 // Serialize a loaded LM to the flat binary cache format (fast reload for
 // serving startup). Returns 0 on success.
 int ctc_lm_save_binary(void* lm, const char* path) {
