@@ -232,12 +232,31 @@ class SentencePieceTokenizer:
         return list(self.pieces)
 
     def _normalize(self, text: str) -> str:
-        if "nfkc" in (self.norm.get("name") or ""):
+        name = self.norm.get("name") or ""
+        if "nmt" in name:
+            # the nmt_* precompiled rulesets map C0 controls and unicode
+            # spaces to ' ' before anything else (rules in sentencepiece's
+            # nmt_nfkc.tsv); approximate that mapping here
+            ws = set("\t\n\r\v\f\x85\xa0\u1680\u2028\u2029\u202f\u205f\u3000")
+            ws |= {chr(c) for c in range(0x2000, 0x200B)}
+            ws |= {chr(c) for c in list(range(0x00, 0x09)) + [0x0e, 0x0f, 0x7f]}
+            text = "".join(" " if ch in ws else ch for ch in text)
+        if "nfkc" in name:
             import unicodedata
 
             text = unicodedata.normalize("NFKC", text)
         if self.norm.get("remove_extra_whitespaces", True):
-            text = " ".join(text.split())
+            # the real library collapses/strips only ' ' (other whitespace
+            # reaches here only if the charsmap left it intact)
+            out = []
+            for ch in text:
+                if ch == " " and out and out[-1] == " ":
+                    continue
+                out.append(ch)
+            text = "".join(out).strip(" ")
+        if not text:
+            # real sentencepiece encodes empty/whitespace-only input to []
+            return ""
         if self.norm.get("add_dummy_prefix", True):
             text = " " + text
         if self.norm.get("escape_whitespaces", True):

@@ -8,57 +8,10 @@ ModelProto, including a case where greedy-merge BPE and Viterbi unigram
 DISAGREE — proving the BPE code path is exercised, not approximated.
 """
 
-import struct
-
 import pytest
 
 from conformer_nemo_tpu.data.tokenizers import SentencePieceTokenizer
-
-SP = "▁"  # meta space
-
-
-def _varint(n: int) -> bytes:
-    out = b""
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out += bytes([b | 0x80])
-        else:
-            return out + bytes([b])
-
-
-def _field(num: int, wire: int, payload: bytes) -> bytes:
-    return _varint((num << 3) | wire) + payload
-
-
-def _string(num: int, s) -> bytes:
-    b = s.encode("utf-8") if isinstance(s, str) else s
-    return _field(num, 2, _varint(len(b)) + b)
-
-
-def _float(num: int, v: float) -> bytes:
-    return _field(num, 5, struct.pack("<f", v))
-
-
-def _varint_field(num: int, v: int) -> bytes:
-    return _field(num, 0, _varint(v))
-
-
-def make_model(pieces, model_type=2, byte_fallback=False,
-               add_dummy_prefix=True, norm_name="nmt_nfkc"):
-    """pieces: list of (piece, score, type)."""
-    blob = b""
-    for piece, score, ptype in pieces:
-        sub = _string(1, piece) + _float(2, score) + _varint_field(3, ptype)
-        blob += _string(1, sub)
-    trainer = _varint_field(3, model_type)
-    if byte_fallback:
-        trainer += _varint_field(35, 1)
-    blob += _string(2, trainer)
-    norm = _string(1, norm_name) + _varint_field(3, 1 if add_dummy_prefix else 0)
-    blob += _string(3, norm)
-    return blob
+from sp_proto import SP, make_model
 
 
 def _write(tmp_path, pieces, **kw):
