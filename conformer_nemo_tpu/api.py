@@ -390,7 +390,21 @@ def _restore_portable_impl(cls, path: str, dtype):
 
         tdir = os.path.dirname(next(iter(artifacts.values())))
         tcfg = {k: v for k, v in m["tokenizer"].items() if k != "dir"}
-        tokenizer = build_tokenizer({**tcfg, "dir": tdir})
+        if tcfg.get("type") == "agg":
+            # converted multilang archives store per-language files flat
+            # with unique basenames + relative `model_file` entries
+            langs = {}
+            for lang, sub in (tcfg.get("langs") or {}).items():
+                sub = {k: v for k, v in sub.items() if k != "dir"}
+                mf = sub.get("model_file")
+                if mf and not os.path.isabs(mf):
+                    sub["model_file"] = os.path.join(tdir, mf)
+                elif not mf:
+                    sub["dir"] = tdir
+                langs[lang] = sub
+            tokenizer = build_tokenizer({**tcfg, "langs": langs})
+        else:
+            tokenizer = build_tokenizer({**tcfg, "dir": tdir})
     else:
         raise ValueError("no tokenizer artifact in portable archive")
     model = cls(config, tokenizer, dtype=dtype)

@@ -54,11 +54,40 @@ def _conv1x1(sd, key):  # Conv1d kernel_size=1 -> Dense
             "bias": np.asarray(sd[key + ".bias"], np.float32)}
 
 
-def _striding_freq_out(feat_in: int, reps: int) -> int:
-    f = feat_in
+def _conv2d(sd, key):  # torch Conv2d [out,in,kh,kw] -> flax [kh,kw,in,out]
+    w = np.asarray(sd[key + ".weight"], np.float32)
+    return {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+            "bias": np.asarray(sd[key + ".bias"], np.float32)}
+
+
+def _bn(sd, key):
+    """torch BatchNorm2d -> (flax params {scale,bias}, stats {mean,var})."""
+    return (
+        {"scale": np.asarray(sd[key + ".weight"], np.float32),
+         "bias": np.asarray(sd[key + ".bias"], np.float32)},
+        {"mean": np.asarray(sd[key + ".running_mean"], np.float32),
+         "var": np.asarray(sd[key + ".running_var"], np.float32)},
+    )
+
+
+# per-mode conv geometry (padding, kernel, stride, ceil_mode) of the
+# FREQUENCY-reducing stage — mirrors reference subsampling.py:72-150 setup
+# and our models/conformer.py _SUBSAMPLING_GEOM
+_GEOM = {
+    "striding": (1, 3, 2, False),
+    "vggnet": (0, 2, 2, True),
+    "resnet": (0, 2, 2, True),
+    "subencoder": (1, 4, 2, False),
+}
+
+
+def _freq_out(feat_in: int, reps: int, mode: str) -> int:
+    p, k, s, ceil = _GEOM[mode]
+    f = float(feat_in)
     for _ in range(reps):
-        f = (f + 2 * 1 - 3) // 2 + 1
-    return f
+        f = (f + 2 * p - k) / s + 1
+        f = math.ceil(f) if ceil else math.floor(f)
+    return int(f)
 
 
 def convert_conformer_encoder(sd: dict, cfg, prefix: str = "encoder."):
@@ -74,30 +103,52 @@ def convert_conformer_encoder(sd: dict, cfg, prefix: str = "encoder."):
     g = lambda k: sd[prefix + k]
 
     # ---- pre_encode -----------------------------------------------------
-    if cfg.subsampling == "striding" and cfg.subsampling_factor > 1:
+    # torch Sequential module indices per repetition (subsampling.py:72-150):
+    #   striding:   [Conv, act]                    -> conv at 2j
+    #   vggnet:     [Conv, act, Conv, act, Pool]   -> convs at 5j, 5j+2
+    #   resnet:     [ResNetBlock, Pool]            -> block at 2j
+    #   subencoder: [SEEncoderLayer]               -> layer at j
+    if cfg.subsampling in _GEOM and cfg.subsampling_factor > 1:
+        mode = cfg.subsampling
         reps = int(math.log2(cfg.subsampling_factor))
         pe = {}
+        pe_stats = {}
         for j in range(reps):
-            w = np.asarray(g(f"pre_encode.conv.{2 * j}.weight"), np.float32)
-            pe[f"conv{j}"] = {
-                "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
-                "bias": np.asarray(g(f"pre_encode.conv.{2 * j}.bias"), np.float32),
-            }
+            if mode == "striding":
+                pe[f"conv{j}"] = _conv2d(sd, prefix + f"pre_encode.conv.{2 * j}")
+            elif mode == "vggnet":
+                pe[f"conv{j}a"] = _conv2d(sd, prefix + f"pre_encode.conv.{5 * j}")
+                pe[f"conv{j}b"] = _conv2d(sd, prefix + f"pre_encode.conv.{5 * j + 2}")
+            elif mode == "resnet":
+                blk = prefix + f"pre_encode.conv.{2 * j}"
+                pe[f"res{j}a"] = _conv2d(sd, blk + ".conv1")
+                pe[f"res{j}b"] = _conv2d(sd, blk + ".conv2")
+                pe[f"res{j}a_bn"], pe_stats[f"res{j}a_bn"] = _bn(sd, blk + ".batchnorm1")
+                pe[f"res{j}b_bn"], pe_stats[f"res{j}b_bn"] = _bn(sd, blk + ".batchnorm2")
+            elif mode == "subencoder":
+                blk = prefix + f"pre_encode.conv.{j}"
+                for tag, tc in (("a", "1"), ("b", "2"), ("c", "3")):
+                    pe[f"se{j}{tag}"] = _conv2d(sd, blk + f".conv{tc}")
+                    (pe[f"se{j}{tag}_bn"],
+                     pe_stats[f"se{j}{tag}_bn"]) = _bn(sd, blk + f".batchnorm{tc}")
         channels = (cfg.subsampling_conv_channels
                     if cfg.subsampling_conv_channels > 0 else cfg.d_model)
-        f_out = _striding_freq_out(cfg.feat_in, reps)
+        f_out = _freq_out(cfg.feat_in, reps, mode)
         w = _t(g("pre_encode.out.weight"))  # [C*F', d_model], rows c*F'+f
         r = np.arange(channels * f_out)
         perm = (r % channels) * f_out + (r // channels)  # our row f*C+c <- torch c*F'+f
         pe["out"] = {"kernel": np.ascontiguousarray(w[perm]),
                      "bias": np.asarray(g("pre_encode.out.bias"), np.float32)}
         p["pre_encode"] = pe
+        if pe_stats:
+            stats["pre_encode"] = pe_stats
+    elif cfg.subsampling == "stacking" and cfg.subsampling_factor > 1:
+        p["pre_encode"] = {"proj_out": _dense(sd, prefix + "pre_encode.proj_out")}
     elif cfg.subsampling_factor <= 1 or cfg.subsampling in (None, "", "none"):
         p["pre_encode"] = _dense(sd, prefix + "pre_encode")
     else:
         raise NotImplementedError(
-            f"checkpoint conversion for subsampling={cfg.subsampling!r} "
-            "(released NeMo Conformers use 'striding')")
+            f"checkpoint conversion for subsampling={cfg.subsampling!r}")
 
     # ---- shared rel-pos biases (untie_biases=False) ---------------------
     if not cfg.untie_biases and cfg.self_attention_model == "rel_pos":

@@ -548,6 +548,10 @@ def build_tokenizer(cfg: dict):
         with open(vf, encoding="utf-8") as f:
             vocab = [line.rstrip("\n") for line in f if line.rstrip("\n")]
         return WordTokenizer(vocab)
+    if cfg.get("model_file"):
+        # direct SentencePiece model reference (converted-archive layout:
+        # per-language files carry unique basenames, no per-lang dirs)
+        return SentencePieceTokenizer(cfg["model_file"])
     d = cfg["dir"]
     hf_json = os.path.join(d, "tokenizer.json")
     sp_model = os.path.join(d, "tokenizer.model")

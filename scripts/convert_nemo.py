@@ -87,12 +87,39 @@ def convert(in_path: str, out_path: str, config_path: str = None,
     # unmangle tokenizer artifacts into stable names for the archive
     art_out = {}
     tmp = tempfile.mkdtemp(prefix="cntpu_conv_")
-    for want in ("tokenizer.model", "tokenizer.vocab", "vocab.txt",
-                 "tokenizer.json", "merges.txt", "vocab.json"):
-        if want in artifacts:
-            dst = os.path.join(tmp, want)
-            shutil.copy(artifacts[want], dst)
-            art_out[want] = dst
+    tok_cfg = m.get("tokenizer") or {}
+    if tok_cfg.get("type") == "agg":
+        # multilang archive: per-language artifacts registered as
+        # `tokenizer.langs.{lang}.model_path` = "nemo:<md5>_tokenizer.model"
+        # (mixins.py:236); store each under a unique flat basename and
+        # rewrite the config to the converted-archive layout
+        new_langs = {}
+        for lang, sub in (tok_cfg.get("langs") or {}).items():
+            sub = dict(sub or {})
+            member = str(sub.get("model_path") or sub.get("dir") or "")
+            if member.startswith("nemo:"):
+                member = member[len("nemo:"):]
+            member = os.path.basename(member)
+            src = artifacts.get(member)
+            if src is None:  # fall back: `dir`-style registration
+                src = artifacts.get(f"{lang}_tokenizer.model")
+            if src is None:
+                raise FileNotFoundError(
+                    f"multilang archive: no tokenizer artifact for lang "
+                    f"{lang!r} (looked for {member!r})")
+            base = f"tokenizer_{lang}.model"
+            dst = os.path.join(tmp, base)
+            shutil.copy(src, dst)
+            art_out[base] = dst
+            new_langs[lang] = {"type": sub.get("type", "bpe"), "model_file": base}
+        m["tokenizer"] = {"type": "agg", "langs": new_langs}
+    else:
+        for want in ("tokenizer.model", "tokenizer.vocab", "vocab.txt",
+                     "tokenizer.json", "merges.txt", "vocab.json"):
+            if want in artifacts:
+                dst = os.path.join(tmp, want)
+                shutil.copy(artifacts[want], dst)
+                art_out[want] = dst
 
     save_portable(out_path, {"model": m}, variables, art_out or None)
     shutil.rmtree(tmp, ignore_errors=True)

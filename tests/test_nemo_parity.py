@@ -39,13 +39,17 @@ class RefEncoder(torch.nn.Module):
     assembled from the reference's own submodules, with NeMo's state_dict
     naming (pre_encode / pos_enc / layers.N)."""
 
-    def __init__(self, mods, conv_norm_type="batch_norm", untie_biases=True):
+    def __init__(self, mods, conv_norm_type="batch_norm", untie_biases=True,
+                 subsampling="striding"):
         super().__init__()
         sub = mods["nemo.collections.asr.parts.submodules.subsampling"]
         mha = mods["nemo.collections.asr.parts.submodules.multi_head_attention"]
         cm = mods["nemo.collections.asr.parts.submodules.conformer_modules"]
-        self.pre_encode = sub.ConvSubsampling(
-            "striding", 4, FEAT, D_MODEL, D_MODEL, torch.nn.ReLU())
+        if subsampling == "stacking":
+            self.pre_encode = sub.StackingSubsampling(4, FEAT, D_MODEL)
+        else:
+            self.pre_encode = sub.ConvSubsampling(
+                subsampling, 4, FEAT, D_MODEL, D_MODEL, torch.nn.ReLU())
         self.pos_enc = mha.RelPositionalEncoding(
             D_MODEL, 0.0, 5000, math.sqrt(D_MODEL), 0.0)
         if untie_biases:
@@ -82,19 +86,70 @@ class RefEncoder(torch.nn.Module):
 
 def _randomize_bn_stats(module, rng):
     for m in module.modules():
-        if isinstance(m, torch.nn.BatchNorm1d):
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
             m.running_mean.copy_(torch.tensor(rng.randn(m.num_features) * 0.1, dtype=torch.float32))
             m.running_var.copy_(torch.tensor(1.0 + 0.3 * rng.rand(m.num_features), dtype=torch.float32))
 
 
-def _our_cfg(conv_norm_type="batch_norm", untie_biases=True):
+def _our_cfg(conv_norm_type="batch_norm", untie_biases=True, subsampling="striding"):
     enc = ConformerEncoderConfig(
         feat_in=FEAT, n_layers=LAYERS, d_model=D_MODEL, n_heads=HEADS,
-        subsampling="striding", subsampling_factor=4, conv_norm_type=conv_norm_type,
+        subsampling=subsampling, subsampling_factor=4, conv_norm_type=conv_norm_type,
         dropout=0.0, dropout_att=0.0, dropout_emb=0.0, untie_biases=untie_biases,
         dtype=jnp.float32,
     )
     return CTCModelConfig(encoder=enc, num_classes=VOCAB)
+
+
+@pytest.mark.parametrize("subsampling", [
+    "vggnet", "resnet", "subencoder", "stacking",
+])
+def test_pre_encoder_mode_conversion_parity(subsampling):
+    """Weight conversion for the fork's own pre-encoder additions
+    (subsampling.py:117-269 resnet/subencoder + vggnet/stacking): reference
+    torch encoder forward == ours after state_dict transfer, incl. the
+    BatchNorm2d running stats and the out-Linear row permutation."""
+    mods = load_reference_modules()
+    rng = np.random.RandomState(1)
+    torch.manual_seed(1)
+
+    ref_enc = RefEncoder(mods, "layer_norm", untie_biases=True,
+                         subsampling=subsampling)
+    with torch.no_grad():
+        _randomize_bn_stats(ref_enc, rng)
+    ref_enc.eval()
+
+    b, t = 2, 57
+    feats = torch.tensor(rng.randn(b, FEAT, t), dtype=torch.float32)
+    lengths = torch.tensor([t, 41], dtype=torch.float32)
+    with torch.no_grad():
+        ref_out, ref_lens = ref_enc(feats, lengths)
+
+    sd = {"encoder." + k: v.detach().numpy() for k, v in ref_enc.state_dict().items()}
+    cfg = _our_cfg("layer_norm", untie_biases=True, subsampling=subsampling)
+
+    from conformer_nemo_tpu.convert.nemo_weights import convert_conformer_encoder
+    from conformer_nemo_tpu.models.conformer import ConformerEncoder
+
+    enc_p, enc_s = convert_conformer_encoder(sd, cfg.encoder, "encoder.")
+    variables = {"params": enc_p}
+    if enc_s:
+        variables["batch_stats"] = enc_s
+    variables = jax.tree.map(jnp.asarray, variables)
+    ours, ours_lens = ConformerEncoder(cfg.encoder).apply(
+        variables, jnp.asarray(feats.numpy()), jnp.asarray([t, 41], jnp.int32),
+        train=False)
+    ours = np.swapaxes(np.asarray(ours), 1, 2)  # [B, T, D]
+
+    np.testing.assert_array_equal(
+        np.asarray(ours_lens), ref_lens.numpy().astype(np.int32))
+    ref_np = ref_out.numpy()
+    for i, L in enumerate(np.asarray(ours_lens)):
+        err = np.max(np.abs(ours[i, :L] - ref_np[i, :L]))
+        # raw (pre-softmax) encoder outputs, fp32 with different matmul
+        # association orders: observed 3-5e-4; a conversion layout bug
+        # (permutation/transpose) produces O(1) error
+        assert err < 1.5e-3, f"{subsampling} sample {i}: max err {err}"
 
 
 @pytest.mark.parametrize("conv_norm_type,untie", [
