@@ -612,8 +612,14 @@ class ConformerEncoder(nn.Module):
 
         layer_cls = ConformerLayer
         if cfg.remat:
-            # bools are static (arg 0 is the module instance in lifted remat)
-            layer_cls = nn.remat(ConformerLayer, static_argnums=(5, 6), prevent_cse=False)
+            # bools are static (arg 0 is the module instance in lifted remat).
+            # prevent_cse MUST stay True here: the layers sit in a plain
+            # Python loop under jit, and with prevent_cse=False XLA's CSE
+            # merges the recomputed forward back with the original, undoing
+            # rematerialization entirely (verified on-chip: identical
+            # 22.89 GB HBM demand with and without remat; prevent_cse=False
+            # is only safe under scan, which has its own barrier).
+            layer_cls = nn.remat(ConformerLayer, static_argnums=(5, 6))
         for i in range(cfg.n_layers):
             x = layer_cls(cfg, name=f"layers_{i}")(
                 x, pos_emb, att_mask, pad_mask, deterministic, train, out_lengths,

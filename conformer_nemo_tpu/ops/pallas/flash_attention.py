@@ -35,6 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+# Full-T streaming blocks (K/V in fwd and dQ; Q/dO/lse/delta in dK/dV) put
+# the kernels' scoped-VMEM stack over the 16 MB default once T >= 2048
+# (measured on-chip: 17.33 MB at T=2048, B*H=64, d1=576). Budget scales
+# linearly with T: ~9 MB/1k frames -> the 100 MB cap carries to T ~= 10k
+# frames (~7 min of audio post-subsampling); past that the streamed side
+# must be tiled too.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pick_tiles(t: int, bq: int, bk: int):
     bq = min(bq, t)
     bk = min(bk, t)
@@ -121,6 +130,7 @@ def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret, with_lse=False):
             jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(lens.astype(jnp.int32), qs, ks, v)
     return (o, lse) if with_lse else o
 
@@ -243,6 +253,7 @@ def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((bh, t, d1), qs.dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(lens, qs, ks, v, do, lse, delta)
 
     dk, dvv = pl.pallas_call(
@@ -268,6 +279,7 @@ def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
             jax.ShapeDtypeStruct((bh, t, dv_dim), v.dtype),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(lens, qs, ks, v, do, lse, delta)
     return dq, dk, dvv
 
