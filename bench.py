@@ -166,7 +166,10 @@ def bench_e2e_train(jax, state, step):
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     root = os.path.join(base, "cntpu_bench_corpus")
     try:
-        mpath = _make_flac_corpus(root)
+        # 32 utts: enough for two distinct epochs at B=16; halves the FLAC
+        # encode setup cost vs 48 (this section competes for end-of-budget
+        # time slots)
+        mpath = _make_flac_corpus(root, n_utts=32)
         tok = CharTokenizer(list("abcdefghijklmnopqrstuvwxyz "))
         ds = BucketedAudioTextDataset(
             read_manifest(mpath), tok, n_buckets=1, token_cap_per_sec=8.5
@@ -512,6 +515,9 @@ def main():
     cool_ok_s = _env_f("BENCH_SECTION_COOLDOWN_S", 80)
     cool_fail_s = _env_f("BENCH_FAILED_COOLDOWN_S", 600)
     min_section_s = _env_f("BENCH_MIN_SECTION_S", 120)
+    # sections with a higher floor: starting them in a doomed slot both
+    # loses the section AND timeout-kills a TPU process (backend wedge)
+    min_per_section = {"e2e": 300.0, "rnnt": 300.0}
     deadline = time.time() + budget_s
 
     sections = tuple(
@@ -539,14 +545,15 @@ def main():
         cool = 0.0
         if is_tpu and touched_tpu:
             cool = max(cool_ok_s, cool_fail_s) if prev_failed else cool_ok_s
-        if remaining < cool + min_section_s:
+        min_s = max(min_section_s, min_per_section.get(section, 0.0))
+        if remaining < cool + min_s:
             skipped.append(f"{section} (budget)")
             continue
         if cool:
             print(f"[bench] cooldown {cool:.0f}s before {section}", file=sys.stderr)
             time.sleep(cool)
             remaining = deadline - time.time()
-        timeout_s = max(min_section_s, min(section_cap_s, remaining - 15))
+        timeout_s = max(min_s, min(section_cap_s, remaining - 15))
         print(f"[bench] running section {section} (timeout {timeout_s:.0f}s, "
               f"{remaining:.0f}s of budget left) ...", file=sys.stderr)
         t0 = time.time()
