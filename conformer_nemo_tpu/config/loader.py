@@ -220,6 +220,11 @@ def build_encoder_config(e: dict, dtype=jnp.bfloat16) -> ConformerEncoderConfig:
             "conv_kernel_size": "conv_kernel_size", "conv_norm_type": "conv_norm_type",
             "dropout": "dropout", "dropout_emb": "dropout_emb",
             "dropout_att": "dropout_att",
+            # our extensions (not reference keys): long-form training knobs,
+            # policy measured in docs/PERFORMANCE.md
+            "remat": "remat",
+            "use_flash_attention": "use_flash_attention",
+            "flash_attention_min_t": "flash_attention_min_t",
         },
     )
     if e.get("att_context_size"):
