@@ -324,7 +324,7 @@ def selftest(jax, jnp):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-6))
 
-    def rel_rows(a, b, axis_keep=0):
+    def rel_rows(a, b):
         """Per-row scale-normalized error: catches a regression confined to
         low-magnitude rows (e.g. a masking bug on short-length samples) that
         the tensor-global normalization would wash out."""

@@ -397,10 +397,17 @@ def _restore_portable_impl(cls, path: str, dtype):
             for lang, sub in (tcfg.get("langs") or {}).items():
                 sub = {k: v for k, v in sub.items() if k != "dir"}
                 mf = sub.get("model_file")
-                if mf and not os.path.isabs(mf):
+                if not mf:
+                    # artifacts are stored FLAT; pointing every language at
+                    # the shared dir would silently load one tokenizer for
+                    # all languages (wrong vocab past the first offset)
+                    raise ValueError(
+                        f"aggregate tokenizer config for lang {lang!r} has "
+                        "no model_file entry; re-convert the archive with "
+                        "scripts/convert_nemo.py (it writes per-language "
+                        "model_file entries)")
+                if not os.path.isabs(mf):
                     sub["model_file"] = os.path.join(tdir, mf)
-                elif not mf:
-                    sub["dir"] = tdir
                 langs[lang] = sub
             tokenizer = build_tokenizer({**tcfg, "langs": langs})
         else:

@@ -70,24 +70,12 @@ def _bn(sd, key):
     )
 
 
-# per-mode conv geometry (padding, kernel, stride, ceil_mode) of the
-# FREQUENCY-reducing stage — mirrors reference subsampling.py:72-150 setup
-# and our models/conformer.py _SUBSAMPLING_GEOM
-_GEOM = {
-    "striding": (1, 3, 2, False),
-    "vggnet": (0, 2, 2, True),
-    "resnet": (0, 2, 2, True),
-    "subencoder": (1, 4, 2, False),
-}
-
-
 def _freq_out(feat_in: int, reps: int, mode: str) -> int:
-    p, k, s, ceil = _GEOM[mode]
-    f = float(feat_in)
-    for _ in range(reps):
-        f = (f + 2 * p - k) / s + 1
-        f = math.ceil(f) if ceil else math.floor(f)
-    return int(f)
+    """Frequency-axis output size: same geometry as the time axis, taken
+    from the model's own table so the two can never desync."""
+    from conformer_nemo_tpu.models.conformer import calc_sub_length
+
+    return int(calc_sub_length(feat_in, mode, reps))
 
 
 def convert_conformer_encoder(sd: dict, cfg, prefix: str = "encoder."):
@@ -108,7 +96,9 @@ def convert_conformer_encoder(sd: dict, cfg, prefix: str = "encoder."):
     #   vggnet:     [Conv, act, Conv, act, Pool]   -> convs at 5j, 5j+2
     #   resnet:     [ResNetBlock, Pool]            -> block at 2j
     #   subencoder: [SEEncoderLayer]               -> layer at j
-    if cfg.subsampling in _GEOM and cfg.subsampling_factor > 1:
+    from conformer_nemo_tpu.models.conformer import _SUBSAMPLING_GEOM
+
+    if cfg.subsampling in _SUBSAMPLING_GEOM and cfg.subsampling_factor > 1:
         mode = cfg.subsampling
         reps = int(math.log2(cfg.subsampling_factor))
         pe = {}

@@ -192,6 +192,18 @@ def load_sentencepiece_model(model_path: str):
 
 _SP_SPACE = "▁"  # SentencePiece meta-space
 
+# see _normalize: nmt_* pre-NFKC rule families (delete controls, space the
+# whitespace family), per sentencepiece builder.cc BuildNmtNFKCMap
+_NMT_CHARMAP = {}
+for _c in (list(range(0x0001, 0x0009)) + [0x000B] + list(range(0x000E, 0x0020))
+           + list(range(0x007F, 0x00A0))):
+    _NMT_CHARMAP[_c] = None  # deleted
+for _c in ([0x0009, 0x000A, 0x000C, 0x000D, 0x1680]
+           + list(range(0x2000, 0x2010))
+           + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]):
+    _NMT_CHARMAP[_c] = " "
+del _c
+
 
 class SentencePieceTokenizer:
     """Inference-only tokenizer over a SentencePiece model file.
@@ -234,13 +246,13 @@ class SentencePieceTokenizer:
     def _normalize(self, text: str) -> str:
         name = self.norm.get("name") or ""
         if "nmt" in name:
-            # the nmt_* precompiled rulesets map C0 controls and unicode
-            # spaces to ' ' before anything else (rules in sentencepiece's
-            # nmt_nfkc.tsv); approximate that mapping here
-            ws = set("\t\n\r\v\f\x85\xa0\u1680\u2028\u2029\u202f\u205f\u3000")
-            ws |= {chr(c) for c in range(0x2000, 0x200B)}
-            ws |= {chr(c) for c in list(range(0x00, 0x09)) + [0x0e, 0x0f, 0x7f]}
-            text = "".join(" " if ch in ws else ch for ch in text)
+            # the nmt_* rulesets (sentencepiece builder.cc BuildNmtNFKCMap)
+            # prepend two rule families to NFKC: control characters are
+            # DELETED (0x0001-0x0008, 0x000B, 0x000E-0x001F, 0x007F-0x009F),
+            # and the whitespace family is mapped to ASCII space (tab, LF,
+            # FF, CR, U+1680, U+2000-U+200F incl. the zero-widths, U+2028,
+            # U+2029, U+202F, U+205F, U+3000)
+            text = text.translate(_NMT_CHARMAP)
         if "nfkc" in name:
             import unicodedata
 

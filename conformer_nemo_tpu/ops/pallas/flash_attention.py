@@ -130,7 +130,7 @@ def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret, with_lse=False):
             jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
         ],
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(lens.astype(jnp.int32), qs, ks, v)
     return (o, lse) if with_lse else o
 
@@ -253,7 +253,7 @@ def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((bh, t, d1), qs.dtype),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(lens, qs, ks, v, do, lse, delta)
 
     dk, dvv = pl.pallas_call(
@@ -279,7 +279,7 @@ def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
             jax.ShapeDtypeStruct((bh, t, dv_dim), v.dtype),
         ],
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(lens, qs, ks, v, do, lse, delta)
     return dq, dk, dvv
 

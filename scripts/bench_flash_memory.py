@@ -4,7 +4,8 @@ Measures the VERDICT round-2 ask: the flash path's memory claim ("no
 [B,H,T,T] materialization raises max trainable T") as numbers, not an
 assertion. Runs the flagship 18-layer d512 bf16 encoder fwd+bwd (grads wrt
 params) at long-form encoder lengths with the attention path forced to
-flash or dense, and reads `device.memory_stats()` peak bytes.
+flash or dense, and reads the built executable's `memory_analysis()`
+(device `memory_stats()` is unavailable through the tunneled runtime).
 
 One (mode, t_enc, batch) config per process invocation (`--one mode t b`):
 a RESOURCE_EXHAUSTED config then crashes ITS process only, and the
@@ -89,12 +90,14 @@ def run_one(mode: str, t_enc: int, b: int) -> dict:
              - ma.alias_size_in_bytes) / 2**30, 2)
     except Exception:
         pass
-    grads = g(variables["params"], feats, lens)
+    # execute through the compiled executable directly (a fresh g(...) call
+    # would re-dispatch through jit and pay a second compile/load)
+    grads = compiled(variables["params"], feats, lens)
     first = jax.tree.leaves(grads)[0]
     float(jnp.sum(first.astype(jnp.float32)))  # sync: fetch value (tunnel)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        grads = g(variables["params"], feats, lens)
+        grads = compiled(variables["params"], feats, lens)
     float(jnp.sum(jax.tree.leaves(grads)[0].astype(jnp.float32)))
     out["step_ms"] = round((time.perf_counter() - t0) / ITERS * 1e3, 1)
     return out

@@ -136,3 +136,13 @@ def test_nfkc_normalization(bpe_tok):
 
 def test_roundtrip_decode(bpe_tok):
     assert bpe_tok.ids_to_text(bpe_tok.text_to_ids("ab cabc")) == "ab cabc"
+
+
+def test_nmt_controls_deleted_not_spaced(bpe_tok):
+    # builder.cc BuildNmtNFKCMap: C0/C1 controls are DELETED...
+    assert bpe_tok.text_to_ids("a\x01b") == bpe_tok.text_to_ids("ab")
+    assert bpe_tok.text_to_ids("a\x7fb") == bpe_tok.text_to_ids("ab")
+    # ...while the whitespace family (incl. zero-widths U+200B-U+200F and
+    # tab/LF/CR) maps to ' '
+    for ws in ("​", "\t", "\n", "\r", "　", " "):
+        assert bpe_tok.text_to_ids(f"a{ws}b") == bpe_tok.text_to_ids("a b"), repr(ws)
