@@ -442,6 +442,9 @@ def run_section(name: str) -> dict:
     if name == "preflight":
         # tiny program: proves the chip answers and warms the backend
         # connection path; bounded by the orchestrator's watchdog.
+        forced = os.environ.get("BENCH_FORCE_BACKEND")
+        if forced:  # test hook: simulate a down tunnel without touching jax
+            return {"tpu": forced}
         jax, jnp = _jax_with_cache()
         x = jax.jit(lambda a: (a * 2 + 1).sum())(jnp.ones((128, 128)))
         float(x)

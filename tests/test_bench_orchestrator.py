@@ -135,3 +135,23 @@ def test_real_sections_resolve():
     for name in bench._DEFAULT_SECTIONS:
         assert f'"{name}"' in src, name
     assert set(bench._TPU_SECTIONS) <= set(bench._DEFAULT_SECTIONS)
+
+
+def test_preflight_cpu_fallback_skips_tpu_sections():
+    """When the tunnel is down jax silently falls back to the CPU backend;
+    heavy sections must be skipped (each would run into its timeout there),
+    while non-TPU sections still run. BENCH_FORCE_BACKEND simulates the
+    fallback (a JAX_PLATFORMS env var would NOT keep the axon plugin from
+    grabbing the real chip on this box — see CLAUDE.md)."""
+    r, lines = _run({
+        "BENCH_SECTIONS": "preflight,primary,fake_ok_a",
+        "BENCH_BUDGET_S": "600",
+        "BENCH_MIN_SECTION_S": "5",
+        "BENCH_FORCE_BACKEND": "cpu",
+    }, timeout=300)
+    assert r.returncode == 0
+    final = json.loads(lines[-1])
+    assert final.get("tpu") == "cpu"
+    skipped = " ".join(final.get("skipped", []))
+    assert "primary (tpu unavailable)" in skipped
+    assert final["fake_ok_a"] == 1
