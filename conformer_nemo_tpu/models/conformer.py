@@ -253,7 +253,6 @@ class RelPosMultiHeadAttention(nn.Module):
             and use_decomposition
             and lengths is not None
             and (deterministic or cfg.dropout_att == 0.0)
-            and tuple(cfg.att_context_size) == (-1, -1)
         )
         if flash_ok:
             # Fold content + positional terms into one extended-depth QK^T:
@@ -277,9 +276,12 @@ class RelPosMultiHeadAttention(nn.Module):
             )
             lens_rep = jnp.repeat(lengths.astype(jnp.int32), h)
             interpret = jax.default_backend() == "cpu"
+            # att_context_size banding folds into the kernel as a static
+            # window; out-of-band tiles are skipped (O(T*w) compute)
+            band_l, band_r = (int(x) for x in cfg.att_context_size)
             o = flash_attention(
                 to_bh(qs_full), to_bh(ks_full), to_bh(v), lens_rep,
-                256, 512, 1.0 / math.sqrt(dk), interpret,
+                256, 512, 1.0 / math.sqrt(dk), interpret, band_l, band_r,
             )[:, :t]
             out = o.reshape(b, h, t, dk).transpose(0, 2, 1, 3).reshape(b, t, h * dk)
             out = jnp.where(

@@ -19,6 +19,14 @@ Design (standard online-softmax flash):
   Q/dO), using the saved lse + delta = rowsum(dO * O), so no [T, T]
   probability matrix ever reaches HBM in either direction.
 
+Banding (att_context_size): static (left, right) window limits fold into
+the tile masks, and out-of-band K/V (resp. Q/dO) tiles are SKIPPED via
+dynamic fori_loop bounds — banded attention runs in O(T*w) compute and
+never materializes [T, T], which is exactly the streaming-consistent
+long-form training configuration (conformer_encoder.py:263-267 banding +
+SURVEY §5.7). left/right < 0 = unlimited (identical to the unbanded
+kernel; the loop bounds collapse to static 0..n_tiles).
+
 Interpret-mode tests (CPU) check parity vs the naive formulation
 (tests/test_flash_attention.py).
 """
@@ -54,14 +62,41 @@ def _pick_tiles(t: int, bq: int, bk: int):
     return max(bq, 1), max(bk, 1)
 
 
-def _make_kernel(bk: int, scale: float):
+def _band_tile_bounds(q_lo, q_hi, left, right, bk, n_tiles):
+    """Key-tile index range [lo, hi) that can intersect the band for query
+    rows [q_lo, q_hi). Static unlimited band -> static (0, n_tiles)."""
+    if left < 0 and right < 0:
+        return 0, n_tiles
+    lo = 0
+    hi = n_tiles
+    if left >= 0:  # keys older than q - left are out of band
+        lo = jnp.maximum((q_lo - left) // bk, 0)
+    if right >= 0:  # keys newer than q + right are out of band
+        hi = jnp.minimum((q_hi + right + bk - 1) // bk, n_tiles)
+        hi = jnp.maximum(hi, lo)
+    return lo, hi
+
+
+def _band_mask(mask, q_idx, key_idx, left, right):
+    """Fold the static (left, right) window into a tile mask.
+    q_idx/key_idx broadcast to the mask's shape."""
+    if left >= 0:   # query may look back at most `left`: i - j <= left
+        mask = mask & (q_idx - key_idx <= left)
+    if right >= 0:  # and ahead at most `right`: j - i <= right
+        mask = mask & (key_idx - q_idx <= right)
+    return mask
+
+
+def _make_kernel(bk: int, scale: float, left: int, right: int):
     def kernel(lens_ref, qs_ref, ks_ref, v_ref, o_ref, lse_ref):
         b = pl.program_id(0)
+        i_q = pl.program_id(1)
         valid_len = lens_ref[b]
         bq, d1 = qs_ref.shape[1], qs_ref.shape[2]
         tk, dv = v_ref.shape[1], v_ref.shape[2]
 
         q = qs_ref[0, :, :].astype(jnp.float32) * scale  # [bq, d1]
+        q_idx = i_q * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
         def body(i, carry):
             m_prev, l_prev, acc = carry
@@ -73,7 +108,7 @@ def _make_kernel(bk: int, scale: float):
                 preferred_element_type=jnp.float32,
             )  # [bq, bk]
             key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            mask = key_idx < valid_len
+            mask = _band_mask(key_idx < valid_len, q_idx, key_idx, left, right)
             s = jnp.where(mask, s, _NEG_INF)
 
             m_cur = jnp.max(s, axis=1)
@@ -93,7 +128,9 @@ def _make_kernel(bk: int, scale: float):
         m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((bq,), jnp.float32)
         acc0 = jnp.zeros((bq, dv), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, tk // bk, body, (m0, l0, acc0))
+        lo, hi = _band_tile_bounds(i_q * bq, (i_q + 1) * bq, left, right,
+                                   bk, tk // bk)
+        m, l, acc = jax.lax.fori_loop(lo, hi, body, (m0, l0, acc0))
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, :, :] = (acc / l_safe[:, None]).astype(o_ref.dtype)
         # per-row logsumexp for the fused backward; fully-masked rows get 0
@@ -106,12 +143,13 @@ def _make_kernel(bk: int, scale: float):
     return kernel
 
 
-def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret, with_lse=False):
+def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret,
+                     with_lse=False, left=-1, right=-1):
     bh, t, d1 = qs.shape
     dv = v.shape[-1]
     bq, bk = _pick_tiles(t, bq, bk)
     o, lse = pl.pallas_call(
-        _make_kernel(bk, scale),
+        _make_kernel(bk, scale, left, right),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh, t // bq),
@@ -135,7 +173,7 @@ def _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret, with_lse=False):
     return (o, lse) if with_lse else o
 
 
-def _make_dq_kernel(bk: int, scale: float):
+def _make_dq_kernel(bk: int, scale: float, left: int, right: int):
     def kernel(lens_ref, qs_ref, ks_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref):
         b = pl.program_id(0)
         i_q = pl.program_id(1)
@@ -159,7 +197,8 @@ def _make_dq_kernel(bk: int, scale: float):
                 preferred_element_type=jnp.float32,
             ) * scale
             key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            mask = (key_idx < valid_len) & q_valid
+            mask = _band_mask((key_idx < valid_len) & q_valid,
+                              q_idx, key_idx, left, right)
             p = jnp.where(mask, jnp.exp(s - lse), 0.0)
             dp = jax.lax.dot_general(
                 do, v_tile, (((1,), (1,)), ((), ())),
@@ -172,13 +211,15 @@ def _make_dq_kernel(bk: int, scale: float):
             )
 
         acc0 = jnp.zeros((bq, d1), jnp.float32)
-        acc = jax.lax.fori_loop(0, tk // bk, body, acc0)
+        lo, hi = _band_tile_bounds(i_q * bq, (i_q + 1) * bq, left, right,
+                                   bk, tk // bk)
+        acc = jax.lax.fori_loop(lo, hi, body, acc0)
         dq_ref[0, :, :] = acc.astype(dq_ref.dtype)
 
     return kernel
 
 
-def _make_dkv_kernel(bq2: int, scale: float):
+def _make_dkv_kernel(bq2: int, scale: float, left: int, right: int):
     def kernel(lens_ref, qs_ref, ks_ref, v_ref, do_ref, lse_ref, delta_ref,
                dk_ref, dv_ref):
         b = pl.program_id(0)
@@ -204,7 +245,8 @@ def _make_dkv_kernel(bq2: int, scale: float):
                 preferred_element_type=jnp.float32,
             ) * scale  # [bq2, bk]
             q_idx = start + jax.lax.broadcasted_iota(jnp.int32, (bq2, 1), 0)
-            mask = key_valid & (q_idx < valid_len)
+            mask = _band_mask(key_valid & (q_idx < valid_len),
+                              q_idx, key_idx, left, right)
             p = jnp.where(mask, jnp.exp(s - lse), 0.0)
             dv_acc = dv_acc + jax.lax.dot_general(
                 p, do_tile, (((0,), (0,)), ((), ())),
@@ -223,21 +265,26 @@ def _make_dkv_kernel(bq2: int, scale: float):
 
         dk0 = jnp.zeros((bk, d1), jnp.float32)
         dv0 = jnp.zeros((bk, dv), jnp.float32)
-        dk_acc, dv_acc = jax.lax.fori_loop(0, tq // bq2, body, (dk0, dv0))
+        # the key block [i_k*bk, (i_k+1)*bk) is in-band for query rows
+        # [i_k*bk - right, (i_k+1)*bk + left): the window inverts
+        lo, hi = _band_tile_bounds(i_k * bk, (i_k + 1) * bk, right, left,
+                                   bq2, tq // bq2)
+        dk_acc, dv_acc = jax.lax.fori_loop(lo, hi, body, (dk0, dv0))
         dk_ref[0, :, :] = dk_acc.astype(dk_ref.dtype)
         dv_ref[0, :, :] = dv_acc.astype(dv_ref.dtype)
 
     return kernel
 
 
-def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
+def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret,
+                     left=-1, right=-1):
     bh, t, d1 = qs.shape
     dv_dim = v.shape[-1]
     bq, bk = _pick_tiles(t, bq, bk)
     lens = lens.astype(jnp.int32)
 
     dq = pl.pallas_call(
-        _make_dq_kernel(bk, scale),
+        _make_dq_kernel(bk, scale, left, right),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh, t // bq),
@@ -257,7 +304,7 @@ def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
     )(lens, qs, ks, v, do, lse, delta)
 
     dk, dvv = pl.pallas_call(
-        _make_dkv_kernel(bq, scale),
+        _make_dkv_kernel(bq, scale, left, right),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh, t // bk),
@@ -284,33 +331,38 @@ def _flash_bwd_entry(qs, ks, v, do, lse, delta, lens, bq, bk, scale, interpret):
     return dq, dk, dvv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def flash_attention(
     qs, ks, v, lens, bq: int = 256, bk: int = 512, scale: float = 1.0,
-    interpret: bool = False,
+    interpret: bool = False, left: int = -1, right: int = -1,
 ):
     """Masked softmax(Qs Ks^T * scale) V without [T, T] HBM materialization.
 
     qs/ks: [BH, T, D1]; v: [BH, T, dv]; lens: [BH] int32 valid key lengths.
     Query rows beyond lens produce normalized garbage the caller masks out.
+    left/right: static att_context_size band (query i attends key j iff
+    i - j <= left and j - i <= right; -1 = unlimited). Out-of-band tiles are
+    skipped, so banded attention runs in O(T*w).
     """
-    return _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret)
+    return _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret,
+                            left=left, right=right)
 
 
-def _flash_vjp_fwd(qs, ks, v, lens, bq, bk, scale, interpret):
+def _flash_vjp_fwd(qs, ks, v, lens, bq, bk, scale, interpret, left, right):
     o, lse = _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret,
-                              with_lse=True)
+                              with_lse=True, left=left, right=right)
     return o, (qs, ks, v, lens, o, lse)
 
 
-def _flash_vjp_bwd(bq, bk, scale, interpret, res, g):
+def _flash_vjp_bwd(bq, bk, scale, interpret, left, right, res, g):
     qs, ks, v, lens, o, lse = res
     # delta_i = sum_d dO_i O_i (the softmax-jacobian row term); tiny
     # elementwise+reduce, XLA fuses it — no kernel needed
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
                     keepdims=True)  # [bh, t, 1], matching lse's layout
     dq, dk, dv = _flash_bwd_entry(
-        qs, ks, v, g, lse, delta, lens, bq, bk, scale, interpret)
+        qs, ks, v, g, lse, delta, lens, bq, bk, scale, interpret,
+        left=left, right=right)
     return dq, dk, dv, None
 
 

@@ -126,3 +126,93 @@ def test_flash_fused_bwd_zero_and_short_lengths_no_nan():
     # rows past each head's length must receive exactly zero dQ
     dq = np.asarray(g_flash[0])
     assert np.all(dq[1, 5:] == 0.0) and np.all(dq[2] == 0.0)
+
+
+@pytest.mark.parametrize("band", [(64, 64), (32, 0), (0, 96), (128, 16)])
+def test_banded_flash_matches_dense_banded(band):
+    """att_context_size banding folded into the kernel: fwd + all three
+    grads match the dense banded reference (query i attends key j iff
+    i - j <= left and j - i <= right), including out-of-band tile skipping
+    and short lengths."""
+    left, right = band
+    rng = np.random.RandomState(3)
+    bh, t, d1, dv = 3, 256, 32, 16
+    qs = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
+    ks = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, t, dv), jnp.float32)
+    lens = jnp.asarray([t, t - 70, 19], jnp.int32)
+    scale = 0.25
+    weight = jnp.asarray(rng.randn(bh, t, dv), jnp.float32)
+
+    def dense(qs, ks, v):
+        s = jnp.einsum("bqd,bkd->bqk", qs, ks) * scale
+        i = jnp.arange(t)[None, :, None]
+        j = jnp.arange(t)[None, None, :]
+        mask = j < lens[:, None, None]
+        mask = mask & (i - j <= left) & (j - i <= right)
+        s = jnp.where(mask, s, -1e30)
+        return jax.nn.softmax(s, axis=-1) @ v
+
+    def loss_flash(qs, ks, v):
+        o = flash_attention(qs, ks, v, lens, 64, 128, scale, True, left, right)
+        row_ok = jnp.arange(t)[None, :, None] < lens[:, None, None]
+        return jnp.sum(jnp.where(row_ok, o, 0.0) * weight)
+
+    def loss_dense(qs, ks, v):
+        o = dense(qs, ks, v)
+        row_ok = jnp.arange(t)[None, :, None] < lens[:, None, None]
+        return jnp.sum(jnp.where(row_ok, o, 0.0) * weight)
+
+    val_f, grads_f = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(qs, ks, v)
+    val_d, grads_d = jax.value_and_grad(loss_dense, argnums=(0, 1, 2))(qs, ks, v)
+    assert val_f == pytest.approx(val_d, rel=1e-5)
+    for a, b, name in zip(grads_f, grads_d, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+def test_banded_flash_unlimited_equals_default():
+    rng = np.random.RandomState(5)
+    bh, t, d1, dv = 2, 128, 16, 16
+    qs = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
+    ks = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, t, dv), jnp.float32)
+    lens = jnp.asarray([t, 50], jnp.int32)
+    a = flash_attention(qs, ks, v, lens, 64, 64, 1.0, True)
+    b = flash_attention(qs, ks, v, lens, 64, 64, 1.0, True, -1, -1)
+    c = flash_attention(qs, ks, v, lens, 64, 64, 1.0, True, t, t)  # >= T band
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
+
+
+def test_banded_encoder_flash_matches_dense_path():
+    """att_context_size banding no longer forces the dense path: the banded
+    flash encoder matches the banded dense encoder (same weights)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conformer_nemo_tpu.models.conformer import (
+        ConformerEncoder, ConformerEncoderConfig)
+
+    def run(min_t, t_mel):
+        cfg = ConformerEncoderConfig(
+            feat_in=16, n_layers=1, d_model=32, n_heads=2,
+            ff_expansion_factor=2, conv_kernel_size=7,
+            conv_norm_type="layer_norm", dropout=0.0, dropout_att=0.0,
+            dtype=jnp.float32, use_flash_attention="auto",
+            flash_attention_min_t=min_t, att_context_size=(12, 4))
+        enc = ConformerEncoder(cfg)
+        rng = np.random.RandomState(1)
+        feats = jnp.asarray(rng.randn(2, 16, t_mel).astype(np.float32))
+        lens = jnp.asarray([t_mel, t_mel - 40], jnp.int32)
+        v = enc.init(jax.random.PRNGKey(0), feats, lens, train=False)
+        out, ol = enc.apply(v, feats, lens, train=False)
+        return np.asarray(out), np.asarray(ol)
+
+    dense, l1 = run(min_t=10_000, t_mel=220)   # banded dense path
+    flash, l2 = run(min_t=8, t_mel=220)        # banded flash kernel
+    np.testing.assert_array_equal(l1, l2)
+    for i, L in enumerate(l1):
+        np.testing.assert_allclose(flash[i, :, :L], dense[i, :, :L],
+                                   rtol=2e-5, atol=2e-5)
