@@ -25,6 +25,8 @@ def main():
     corpus = sys.argv[4]
     outfile = sys.argv[5]
     model_axis = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    mode = sys.argv[7] if len(sys.argv) > 7 else "step"
+    ckpt_dir = sys.argv[8] if len(sys.argv) > 8 else ""
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ.pop("JAX_PLATFORMS", None)
@@ -66,10 +68,52 @@ def main():
     }
     assert global_batch["audio"].shape[0] == LOCAL_BATCH * pc
 
-    state, metrics = step(state, global_batch)
-    loss = float(metrics["loss"])
+    if mode == "step":
+        state, metrics = step(state, global_batch)
+        loss = float(metrics["loss"])
+        with open(outfile, "w") as f:
+            json.dump({"rank": rank, "loss": loss, "model_axis": model_axis,
+                       "devices": app.global_device_count}, f)
+        return
+
+    # checkpoint modes: save -> restart (new processes) -> resume must
+    # reproduce the uninterrupted loss sequence (VERDICT r3 ask #2; the
+    # reference contract is exp_manager.py:665 resume + rank-0 save,
+    # save_restore_connector.py:53).
+    from conformer_nemo_tpu.train.checkpoint import (
+        restore_train_state, save_train_state)
+
+    losses = []
+    if mode == "ckpt_train":
+        # steps 1-2, save (rank-0 discipline inside save_train_state),
+        # then steps 3-4 uninterrupted for the reference sequence
+        for _ in range(2):
+            state, metrics = step(state, global_batch)
+            losses.append(float(metrics["loss"]))
+        save_train_state(ckpt_dir, state, step=2)
+        for _ in range(2):
+            state, metrics = step(state, global_batch)
+            losses.append(float(metrics["loss"]))
+    elif mode == "ckpt_resume":
+        # fresh processes: restore into the SHARDED template and continue
+        restored, meta = restore_train_state(ckpt_dir, state)
+        assert restored is not None and meta["step"] == 2, meta
+        # restored leaves carry the template's (dp x tp) shardings
+        import jax as _jax
+        for t_leaf, r_leaf in zip(_jax.tree.leaves(state),
+                                  _jax.tree.leaves(restored)):
+            if isinstance(t_leaf, _jax.Array) and t_leaf.ndim:
+                assert isinstance(r_leaf, _jax.Array), type(r_leaf)
+                assert r_leaf.sharding.is_equivalent_to(
+                    t_leaf.sharding, t_leaf.ndim), (t_leaf.sharding, r_leaf.sharding)
+        state = restored
+        for _ in range(2):
+            state, metrics = step(state, global_batch)
+            losses.append(float(metrics["loss"]))
+    else:
+        raise SystemExit(f"unknown mode {mode}")
     with open(outfile, "w") as f:
-        json.dump({"rank": rank, "loss": loss, "model_axis": model_axis,
+        json.dump({"rank": rank, "losses": losses, "model_axis": model_axis,
                    "devices": app.global_device_count}, f)
 
 

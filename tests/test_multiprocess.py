@@ -34,17 +34,18 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, manifest, model_axis):
+def _run_workers(tmp_path, manifest, model_axis, mode="step", ckpt_dir=""):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = ROOT + os.pathsep + os.path.join(ROOT, "tests")
     procs, outs = [], []
     for rank in range(2):
-        out = str(tmp_path / f"rank{rank}_tp{model_axis}.json")
+        out = str(tmp_path / f"rank{rank}_tp{model_axis}_{mode}.json")
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(ROOT, "tests", "distributed_worker.py"),
-             str(rank), "2", str(port), manifest, out, str(model_axis)],
+             str(rank), "2", str(port), manifest, out, str(model_axis),
+             mode, ckpt_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     for p in procs:
         stdout, stderr = p.communicate(timeout=560)
@@ -100,3 +101,34 @@ def test_two_process_dp_times_tp(tmp_path):
     ref_loss = _single_process_reference(manifest)
     assert results[0]["loss"] == pytest.approx(ref_loss, rel=1e-4), (
         f"dp x tp loss {results[0]['loss']} != dp reference {ref_loss}")
+
+
+def test_two_process_dp_tp_checkpoint_resume(tmp_path):
+    """Checkpointing survives multi-process SHARDED training: train 2 steps
+    under dp=4 x tp=2 across 2 OS processes, save (gather-to-host of
+    non-addressable TP shards + rank-0 write), kill the processes, start
+    FRESH processes that restore onto the live mesh and continue — the
+    post-resume loss sequence must equal the uninterrupted run's steps 3-4.
+
+    Reference contract: rank-0 save discipline
+    (save_restore_connector.py:53) + exp_manager.py:665 resume.
+    """
+    manifest = build_corpus(str(tmp_path / "corpus"))
+    ckpt_dir = str(tmp_path / "ckpts")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    full = _run_workers(tmp_path, manifest, model_axis=2,
+                        mode="ckpt_train", ckpt_dir=ckpt_dir)
+    assert len(full[0]["losses"]) == 4
+    assert full[0]["losses"] == pytest.approx(full[1]["losses"], rel=1e-6)
+    # only process 0 wrote (rank discipline); the directory is complete
+    assert os.path.exists(os.path.join(ckpt_dir, "step_2", "state.msgpack"))
+    assert os.path.exists(os.path.join(ckpt_dir, "last"))
+
+    resumed = _run_workers(tmp_path, manifest, model_axis=2,
+                           mode="ckpt_resume", ckpt_dir=ckpt_dir)
+    assert len(resumed[0]["losses"]) == 2
+    assert resumed[0]["losses"] == pytest.approx(resumed[1]["losses"], rel=1e-6)
+    # resumed sequence == uninterrupted steps 3-4
+    assert resumed[0]["losses"] == pytest.approx(full[0]["losses"][2:], rel=1e-5), (
+        f"post-resume {resumed[0]['losses']} != uninterrupted {full[0]['losses'][2:]}")
