@@ -33,9 +33,16 @@ Additional fields in the same JSON object:
 - `host_loader_workers` — rate vs num_workers (the scaling curve behind the
                        "host outruns the chip" claim).
 - `rnnt_train`       — RNN-T large train throughput (audio_s/s).
-- `ctc_decode`/`rnnt_decode` — eval-mode encoder+greedy throughput.
+- `ctc_decode`/`rnnt_decode` — eval-mode encoder+greedy throughput, SAME
+                       scope in both families (host collapse/detokenize
+                       excluded in both).
+- `ctc_eval`         — full CTC eval step (encoder+greedy+loss lattice);
+                       this is what BENCH_r03 reported as `ctc_decode`.
+- `mfu`              — compiled train-step FLOPs / measured step time /
+                       chip bf16 peak (XLA cost analysis; anchor-free).
 - `selftest`         — on-chip kernel parity (Pallas CTC/RNN-T vs scan,
-                       flash vs dense attention), "ok" or "fail: ...".
+                       flash vs dense attention incl. a banded window),
+                       "ok" or "fail: ...".
 
 Section order is evidence-priority order: host_loader (no device — always
 lands), preflight, primary, selftest, then the rest.
@@ -80,7 +87,34 @@ def bench_ctc_train(jax, jnp, cfg, state, step):
         state, metrics = step(state, batch)
     _sync(metrics)
     dt = time.perf_counter() - t0
-    return BATCH * SECONDS * ITERS / dt, state
+    mfu = _mfu(jax, step, state, batch, dt / ITERS)
+    return BATCH * SECONDS * ITERS / dt, mfu, state
+
+
+# chip bf16 peak FLOP/s by device_kind substring (public spec sheets)
+_PEAK_FLOPS = (
+    ("v6", 918e12), ("v5p", 459e12), ("v5", 197e12),  # v5 lite == v5e
+    ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+)
+
+
+def _mfu(jax, step, state, batch, step_s):
+    """Model-FLOPs utilization: compiled-program FLOPs (XLA cost analysis of
+    the ACTUAL train step, fwd+bwd+optimizer) / measured step time / chip
+    bf16 peak. Independent of the 400 audio-s/s A100 anchor."""
+    try:
+        ca = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next((p for sub, p in _PEAK_FLOPS if sub in kind), None)
+        if peak is None or flops <= 0:
+            return None
+        return round(flops / step_s / peak, 4)
+    except Exception as e:  # noqa: BLE001 — mfu is best-effort evidence
+        print(f"[bench] mfu unavailable: {e}", file=sys.stderr)
+        return None
 
 
 def _make_flac_corpus(root, n_utts=48, seconds=SECONDS):
@@ -250,9 +284,31 @@ def bench_rnnt_train(jax, jnp):
 
 
 def bench_ctc_decode(jax, jnp, cfg, state):
+    """Returns (ctc_decode, ctc_eval):
+    - ctc_decode: eval-mode encoder + greedy (mel -> encoder -> argmax ids) —
+      the same scope as bench_rnnt_decode (encoder + greedy emission), so the
+      two families are comparable. The host-side collapse/detokenize is
+      excluded in BOTH (ragged text, negligible next to the encoder).
+    - ctc_eval: the full eval step (adds the CTC loss lattice) — the metric
+      BENCH_r03 reported under 'ctc_decode'; kept one round for continuity.
+    """
+    from conformer_nemo_tpu.audio.features import log_mel_spectrogram
+    from conformer_nemo_tpu.decode.ctc_greedy import ctc_greedy_decode
+    from conformer_nemo_tpu.models.ctc_model import CTCModel
     from conformer_nemo_tpu.train.trainer import make_ctc_eval_step
 
-    eval_step = make_ctc_eval_step(cfg)
+    model = CTCModel(cfg)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    @jax.jit
+    def decode(variables, batch):
+        feats, feat_lens = log_mel_spectrogram(
+            cfg.preprocessor, batch["audio"], batch["audio_lens"], training=False)
+        log_probs, enc_lens = model.apply(variables, feats, feat_lens, train=False)
+        return ctc_greedy_decode(log_probs), enc_lens
+
     t_samples = int(SECONDS * SR)
     rng = np.random.RandomState(0)
     batch = jax.tree.map(jnp.asarray, {
@@ -261,14 +317,24 @@ def bench_ctc_decode(jax, jnp, cfg, state):
         "tokens": rng.randint(0, cfg.num_classes, size=(BATCH, 128)).astype(np.int32),
         "token_lens": np.full((BATCH,), 128, np.int32),
     })
+
+    preds, _ = decode(variables, batch)
+    int(preds.sum())
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        preds, _ = decode(variables, batch)
+    int(preds.sum())
+    decode_rate = BATCH * SECONDS * ITERS / (time.perf_counter() - t0)
+
+    eval_step = make_ctc_eval_step(cfg)
     loss, preds, _ = eval_step(state, batch)
     float(loss)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         loss, preds, _ = eval_step(state, batch)
     float(loss)
-    dt = time.perf_counter() - t0
-    return BATCH * SECONDS * ITERS / dt
+    eval_rate = BATCH * SECONDS * ITERS / (time.perf_counter() - t0)
+    return decode_rate, eval_rate
 
 
 def bench_rnnt_decode(jax, jnp, rnnt_cfg, rnnt_state):
@@ -399,6 +465,31 @@ def selftest(jax, jnp):
         errs.append(rel(a, bref))
     checks.append(("flash_attention", float(max(errs)), 2e-2))
 
+    # BANDED flash (att_context_size window + index_map tile streaming):
+    # fwd + all grads vs the banded dense reference at one asymmetric band —
+    # guards the in-kernel band masking and the lo/hi tile-range logic.
+    left, right = 96, 32
+
+    def loss_banded_flash(q, k, vv):
+        o = flash_attention(q, k, vv, lens, 256, 512, 1.0, False, left, right)
+        row_ok = jnp.arange(t)[None, :, None] < lens[:, None, None]
+        return jnp.sum(jnp.where(row_ok, o, 0.0).astype(jnp.float32))
+
+    def loss_banded_dense(q, k, vv):
+        logits = jnp.einsum("bqd,bkd->bqk", q, k)
+        i = jnp.arange(t)[None, :, None]
+        j = jnp.arange(t)[None, None, :]
+        mask = (j < lens[:, None, None]) & (i - j <= left) & (j - i <= right)
+        logits = jnp.where(mask, logits, -1e30)
+        o = jax.nn.softmax(logits, axis=-1) @ vv
+        row_ok = jnp.arange(t)[None, :, None] < lens[:, None, None]
+        return jnp.sum(jnp.where(row_ok, o, 0.0).astype(jnp.float32))
+
+    vf, gf = jax.jit(jax.value_and_grad(loss_banded_flash, argnums=(0, 1, 2)))(q, k, vv)
+    vd, gd = jax.jit(jax.value_and_grad(loss_banded_dense, argnums=(0, 1, 2)))(q, k, vv)
+    e = max(rel(vf, vd), *(rel_rows(a, b) for a, b in zip(gf, gd)))
+    checks.append(("banded_flash", float(e), 2e-2))
+
     bad = [f"{name} err={err:.2e} > {tol}" for name, err, tol in checks if not (err < tol)]
     return "ok" if not bad else "fail: " + "; ".join(bad)
 
@@ -454,16 +545,21 @@ def run_section(name: str) -> dict:
         return {"e2e_host_loader": best, "host_loader_workers": curve}
     if name == "primary":
         jax, jnp, cfg, state, step = _ctc_setup()
-        primary, _ = bench_ctc_train(jax, jnp, cfg, state, step)
-        return {"metric": "ctc_large_train_throughput", "value": round(primary, 2),
-                "unit": "audio_s/s/chip",
-                "vs_baseline": round(primary / BASELINE_AUDIO_S_PER_S, 3)}
+        primary, mfu, _ = bench_ctc_train(jax, jnp, cfg, state, step)
+        out = {"metric": "ctc_large_train_throughput", "value": round(primary, 2),
+               "unit": "audio_s/s/chip",
+               "vs_baseline": round(primary / BASELINE_AUDIO_S_PER_S, 3)}
+        if mfu is not None:
+            out["mfu"] = mfu
+        return out
     if name == "e2e":
         jax, jnp, cfg, state, step = _ctc_setup()
         return {"e2e_train": round(bench_e2e_train(jax, state, step), 2)}
     if name == "ctc_decode":
         jax, jnp, cfg, state, _ = _ctc_setup()
-        return {"ctc_decode": round(bench_ctc_decode(jax, jnp, cfg, state), 2)}
+        decode_rate, eval_rate = bench_ctc_decode(jax, jnp, cfg, state)
+        return {"ctc_decode": round(decode_rate, 2),
+                "ctc_eval": round(eval_rate, 2)}
     if name == "selftest":
         jax, jnp = _jax_with_cache()
         return {"selftest": selftest(jax, jnp)}

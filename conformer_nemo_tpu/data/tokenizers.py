@@ -193,14 +193,19 @@ def load_sentencepiece_model(model_path: str):
 _SP_SPACE = "▁"  # SentencePiece meta-space
 
 # see _normalize: nmt_* pre-NFKC rule families (delete controls, space the
-# whitespace family), per sentencepiece builder.cc BuildNmtNFKCMap
+# whitespace family), exact codepoint lists from sentencepiece
+# builder.cc BuildNmtNFKCMap (NOT whole ranges: only 0x007F/0x008F/0x009F of
+# the C1 block are deleted — e.g. U+0085 NEL is untouched there — and the
+# space-mapped set includes U+200B-200F, U+2581 meta-space, U+FEFF BOM and
+# U+FFFD; PARITY.md notes coverage stays approximate until a
+# charsmap-bearing differential fixture exists)
 _NMT_CHARMAP = {}
 for _c in (list(range(0x0001, 0x0009)) + [0x000B] + list(range(0x000E, 0x0020))
-           + list(range(0x007F, 0x00A0))):
+           + [0x007F, 0x008F, 0x009F]):
     _NMT_CHARMAP[_c] = None  # deleted
 for _c in ([0x0009, 0x000A, 0x000C, 0x000D, 0x1680]
-           + list(range(0x2000, 0x2010))
-           + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]):
+           + list(range(0x200B, 0x2010))
+           + [0x2028, 0x2029, 0x2581, 0xFEFF, 0xFFFD]):
     _NMT_CHARMAP[_c] = " "
 del _c
 

@@ -150,15 +150,20 @@ def parse_header(path: str) -> Optional[KenLMHeader]:
                     ok = False
                     break
                 (c,) = struct.unpack_from("<Q", head, cpos)
-                # each n-gram costs >= 4 bytes in any of the structures
-                if c == 0 or c > max(1, file_size) // 4 + 1:
+                # per-count plausibility: probing tables cost >= 4 bytes per
+                # n-gram; quantized/compressed tries can go lower, so only
+                # bound them at >= 1 byte/gram (heavily packed array tries)
+                per_gram = 4 if mtype in (0, 1) else 1
+                if c == 0 or c > max(1, file_size) // per_gram + 1:
                     ok = False
                     break
                 cand.append(c)
                 cpos += 8
-            # counts must be plausible against the file size (probing tables
-            # are ~16 bytes/gram; trie is tighter but still > 2 bytes/gram)
-            if ok and sum(cand) * 2 <= file_size:
+            # totals must be plausible against the file size (probing tables
+            # are ~16 bytes/gram; quantized tries can dip toward 1 byte/gram
+            # — a tighter bound would reject valid headers and degrade the
+            # rejection message to its version-only form)
+            if ok and sum(cand) * (2 if mtype in (0, 1) else 1) <= file_size:
                 counts = cand
                 break
         if counts is None:

@@ -96,6 +96,17 @@ def convert(in_path: str, out_path: str, config_path: str = None,
         new_langs = {}
         for lang, sub in (tok_cfg.get("langs") or {}).items():
             sub = dict(sub or {})
+            # the reference registers wpe sub-tokenizers via vocab artifacts
+            # (mixins.py), not a SentencePiece model file; carrying one
+            # through the model_path scheme below would silently load it as
+            # SentencePiece — reject loudly instead
+            if sub.get("type", "bpe") != "bpe":
+                raise NotImplementedError(
+                    f"multilang archive: sub-tokenizer type "
+                    f"{sub.get('type')!r} for lang {lang!r} is not supported "
+                    "by the converter (only 'bpe'/SentencePiece sub-"
+                    "tokenizers; agg+wpe archives register vocab artifacts "
+                    "the converter does not carry)")
             member = str(sub.get("model_path") or sub.get("dir") or "")
             if member.startswith("nemo:"):
                 member = member[len("nemo:"):]
