@@ -32,7 +32,11 @@ _lib = None
 
 def _compile() -> str:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    src_mtime = max(
+        os.path.getmtime(_SRC),
+        os.path.getmtime(os.path.join(os.path.dirname(_SRC), "kenlm_probing.h")),
+    )
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
         return _SO
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -49,6 +53,12 @@ def _load():
             lib.ctc_lm_free.argtypes = [ctypes.c_void_p]
             lib.ctc_lm_save_binary.restype = ctypes.c_int
             lib.ctc_lm_save_binary.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.ctc_lm_load_kenlm_probing.restype = ctypes.c_void_p
+            lib.ctc_lm_load_kenlm_probing.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+            lib.ctc_lm_kenlm_word.restype = ctypes.c_int
+            lib.ctc_lm_kenlm_word.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int]
             lib.ctc_lm_score_word.restype = ctypes.c_double
             lib.ctc_lm_score_word.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
@@ -79,12 +89,20 @@ class BeamSearchDecoderWithLM:
         lm_path: Optional[str] = None,
         num_cpus: int = 4,
         lm_binary_cache: bool = True,
+        kenlm_probing: bool = False,
     ):
         """lm_binary_cache: transparently cache the parsed ARPA tables next
         to the file (`<lm_path>.binlm`, our flat format — NOT KenLM .bin) and
         reload from the cache when fresh; large LMs then load in one read
-        instead of a full text parse at serving startup. KenLM `.bin` files
-        are not readable — convert to ARPA offline first."""
+        instead of a full text parse at serving startup.
+
+        kenlm_probing: opt-in direct reader for KenLM `.bin` files of the
+        PROBING data structure (the build_binary default). Off by default:
+        the reader's structural validation is thorough (see
+        native/ctc_beam/kenlm_probing.h) but full per-word score parity
+        against the real library is only provable where the kenlm wheel
+        exists (tests/test_kenlm_differential.py runs it there). Trie /
+        quantized binaries are always rejected with conversion guidance."""
         self.vocab = list(vocab)
         self.blank_id = len(self.vocab)
         self.beam_width = beam_width
@@ -99,10 +117,31 @@ class BeamSearchDecoderWithLM:
 
             if is_kenlm_binary(lm_path):
                 hdr = parse_header(lm_path)
+                probing = hdr is not None and hdr.model_type in (
+                    "probing",)
+                if probing and kenlm_probing:
+                    err = ctypes.create_string_buffer(512)
+                    handle = self._lib.ctc_lm_load_kenlm_probing(
+                        lm_path.encode(), err, len(err))
+                    if not handle:
+                        raise ValueError(
+                            f"{lm_path}: {err.value.decode(errors='replace')}")
+                    self._lm = ctypes.c_void_p(handle)
+                    self._vocab_joined = "\n".join(
+                        self.vocab + ["<blank>"]).encode()
+                    return
+                hint = (
+                    "This IS a probing-structure binary: pass "
+                    "kenlm_probing=True to read it directly (per-word score "
+                    "parity vs the real library is enforced by "
+                    "tests/test_kenlm_differential.py wherever the kenlm "
+                    "wheel exists). Alternatively, "
+                    if probing else "")
                 raise ValueError(
                     f"{lm_path} is a {hdr.describe() if hdr else 'KenLM binary'}. "
                     "This framework's scorer consumes ARPA text (plus its own "
                     ".binlm cache, built automatically on first ARPA load). "
+                    f"{hint}"
                     "KenLM binaries are compiled FROM an ARPA with kenlm's "
                     "build_binary and kenlm ships no reverse converter: pass "
                     "the source .arpa here instead, or rebuild one with "

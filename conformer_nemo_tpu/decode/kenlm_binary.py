@@ -9,14 +9,17 @@ format version, model type, order, per-order n-gram counts — so the error a
 user gets is actionable ("this is a 4-gram trie KenLM binary; dump it back
 to ARPA with kenlm") instead of a generic parse failure.
 
-Why header-only: the payload (probing hash tables / bit-packed trie) keys
-n-grams with library-internal hash constants; a reader for those cannot be
-validated in this no-egress image (no kenlm wheel, no build_binary), and a
-mis-parsed table that "loads" would be strictly worse than a precise error.
+This module stays header-only by design; the PROBING payload itself is
+readable through the opt-in mmap scorer in `native/ctc_beam/kenlm_probing.h`
+(`BeamSearchDecoderWithLM(..., kenlm_probing=True)`), which this parser
+gates: only files it identifies as model_type "probing" are offered that
+path, trie/quantized variants keep the actionable rejection (a mis-parsed
+table that "loads" would be strictly worse than a precise error).
 `tests/test_kenlm_differential.py` carries `importorskip("kenlm")`-gated
-differential tests that validate the ARPA scorer (and this header parser
-against a real `build_binary` output) automatically in any environment that
-has the library.
+differential tests that validate the ARPA scorer, this header parser, and
+the probing payload reader against the real library in any environment
+that has it; `tests/test_kenlm_probing.py` validates the reader
+hermetically against a layout-exact fixture writer.
 
 Layout parsed here (public format description, binary_format semantics):
   * Sanity block: magic string "mmap lm http://kheafield.com/code format

@@ -8,8 +8,9 @@
 //
 // This implementation is written from the published algorithm (Hannun et al.
 // 2014 prefix beam search; Katz-backoff ARPA scoring) — no code is taken from
-// ctc_decoders/KenLM. KenLM binary files are not supported; standard ARPA
-// text files are parsed directly.
+// ctc_decoders/KenLM. LM backends: ARPA text (+ our .binlm cache) and, via
+// explicit opt-in, KenLM PROBING binaries (kenlm_probing.h); trie/quantized
+// KenLM binaries keep the actionable rejection.
 //
 // Exposed via a C ABI for ctypes (no pybind11 in this image).
 
@@ -25,6 +26,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "kenlm_probing.h"
+
 namespace {
 
 constexpr double kNegInf = -std::numeric_limits<double>::infinity();
@@ -36,12 +39,22 @@ inline double log_sum_exp(double a, double b) {
   return m + std::log(std::exp(a - m) + std::exp(b - m));
 }
 
+// Word n-gram scorer interface consumed by the beam search: map word
+// strings to backend-internal ids, then score log10 P(w | context).
+class LmBase {
+ public:
+  virtual ~LmBase() = default;
+  virtual uint32_t LookupId(const std::string& w) const = 0;
+  virtual double Score(const std::vector<uint32_t>& context,
+                       uint32_t w) const = 0;
+};
+
 // ---------------------------------------------------------------------------
 // ARPA n-gram language model with Katz backoff. Probabilities kept in log10
 // (ARPA native); conversion to natural log happens at the scoring boundary.
 // ---------------------------------------------------------------------------
 
-class ArpaLM {
+class ArpaLM : public LmBase {
  public:
   bool Load(const std::string& path) {
     if (IsBinary(path)) return LoadBinary(path);
@@ -97,7 +110,7 @@ class ArpaLM {
   }
 
   // id for scoring only: unknown words map to <unk> if present, else 0.
-  uint32_t LookupId(const std::string& w) const {
+  uint32_t LookupId(const std::string& w) const override {
     auto it = vocab_.find(w);
     if (it != vocab_.end()) return it->second;
     auto unk = vocab_.find("<unk>");
@@ -106,7 +119,7 @@ class ArpaLM {
 
   // log10 P(w | context) with Katz backoff. context = previous words,
   // truncated to max_order-1.
-  double Score(const std::vector<uint32_t>& context, uint32_t w) const {
+  double Score(const std::vector<uint32_t>& context, uint32_t w) const override {
     int max_ctx = max_order_ - 1;
     int start = std::max(0, (int)context.size() - max_ctx);
     return ScoreBackoff(context, start, w);
@@ -251,6 +264,24 @@ class ArpaLM {
   int max_order_ = 0;
 };
 
+// KenLM probing-binary backend (mmap scorer; see kenlm_probing.h).
+class KenlmProbingLM : public LmBase {
+ public:
+  bool Load(const std::string& path, std::string* err) {
+    return model_.Load(path, err);
+  }
+  uint32_t LookupId(const std::string& w) const override {
+    return model_.WordId(w);
+  }
+  double Score(const std::vector<uint32_t>& ctx, uint32_t w) const override {
+    return model_.Score(ctx, w);
+  }
+  const kenlm_probing::Model& model() const { return model_; }
+
+ private:
+  kenlm_probing::Model model_;
+};
+
 // ---------------------------------------------------------------------------
 // Prefix beam search (Hannun et al. 2014) over char posteriors with optional
 // word-boundary LM fusion: at each completed word, add
@@ -277,7 +308,7 @@ struct PrefixHash {
 class BeamSearcher {
  public:
   BeamSearcher(std::vector<std::string> vocab, int blank_id, int beam_width,
-               double alpha, double beta, const ArpaLM* lm, int space_id)
+               double alpha, double beta, const LmBase* lm, int space_id)
       : vocab_(std::move(vocab)), blank_(blank_id), beam_(beam_width),
         alpha_(alpha), beta_(beta), lm_(lm), space_(space_id) {}
 
@@ -414,7 +445,7 @@ class BeamSearcher {
   int blank_;
   int beam_;
   double alpha_, beta_;
-  const ArpaLM* lm_;
+  const LmBase* lm_;
   int space_;
 };
 
@@ -432,17 +463,46 @@ void* ctc_lm_load(const char* arpa_path) {
     delete lm;
     return nullptr;
   }
-  return lm;
+  return static_cast<LmBase*>(lm);
 }
 
-void ctc_lm_free(void* lm) { delete static_cast<ArpaLM*>(lm); }
+// KenLM PROBING binary backend (explicit opt-in from Python; see
+// kenlm_probing.h for the format + validation). On failure returns null and
+// writes a precise reason into err_buf.
+void* ctc_lm_load_kenlm_probing(const char* path, char* err_buf, int err_cap) {
+  auto* lm = new KenlmProbingLM();
+  std::string err;
+  if (!lm->Load(path, &err)) {
+    delete lm;
+    if (err_buf && err_cap > 0) {
+      std::snprintf(err_buf, (size_t)err_cap, "%s", err.c_str());
+    }
+    return nullptr;
+  }
+  return static_cast<LmBase*>(lm);
+}
+
+// Word string for a KenLM-probing vocab id when the binary carries its
+// vocabulary strings (build_binary default); returns length or -1. Lets
+// tests and load-time self-checks enumerate real words without an ARPA.
+int ctc_lm_kenlm_word(void* lm_handle, uint32_t id, char* buf, int cap) {
+  auto* lm = dynamic_cast<KenlmProbingLM*>(static_cast<LmBase*>(lm_handle));
+  if (!lm || !lm->model().has_word_strings()) return -1;
+  std::string w = lm->model().WordString(id);
+  if (w.empty() && id != 0) return -1;
+  if ((int)w.size() + 1 > cap) return -1;
+  std::memcpy(buf, w.c_str(), w.size() + 1);
+  return (int)w.size();
+}
+
+void ctc_lm_free(void* lm) { delete static_cast<LmBase*>(lm); }
 
 // log10 P(word | context) with Katz backoff; context is a space-separated
 // word string ("" = unigram). Exposes the scorer for differential tests
 // against real KenLM (tests/test_kenlm_differential.py) and for debugging.
 double ctc_lm_score_word(void* lm_handle, const char* context_joined,
                          const char* word) {
-  const auto* lm = static_cast<const ArpaLM*>(lm_handle);
+  const auto* lm = static_cast<const LmBase*>(lm_handle);
   std::vector<uint32_t> ctx;
   std::istringstream ss(context_joined);
   std::string w;
@@ -454,7 +514,9 @@ double ctc_lm_score_word(void* lm_handle, const char* context_joined,
 // serving startup). Returns 0 on success.
 int ctc_lm_save_binary(void* lm, const char* path) {
   if (!lm) return 1;
-  return static_cast<ArpaLM*>(lm)->SaveBinary(path) ? 0 : 2;
+  auto* arpa = dynamic_cast<ArpaLM*>(static_cast<LmBase*>(lm));
+  if (!arpa) return 3;  // KenLM-probing backend: already a binary, no cache
+  return arpa->SaveBinary(path) ? 0 : 2;
 }
 
 // vocab: '\n'-joined labels (V entries, index = label id).
@@ -482,7 +544,7 @@ int ctc_beam_search(const float* log_probs, int T, int V, const char* vocab_join
     if (vocab[i] == " ") space_id = (int)i;
 
   BeamSearcher bs(vocab, blank_id, beam_width, alpha, beta,
-                  static_cast<ArpaLM*>(lm_handle), space_id);
+                  static_cast<LmBase*>(lm_handle), space_id);
   auto res = bs.Search(log_probs, T, V, nbest);
 
   std::string packed;

@@ -66,6 +66,34 @@ def test_per_word_scores_match_kenlm(ours, theirs):
         assert ours.lm_score(ctx, "</s>") == pytest.approx(eos_lp, abs=1e-4), sent
 
 
+def test_probing_binary_reader_matches_real_kenlm(tmp_path, theirs):
+    """THE ground-truth case for the probing payload reader
+    (native/ctc_beam/kenlm_probing.h): load a real `build_binary probing`
+    output directly and match kenlm's own per-word log10 scores — backoff
+    chains, OOV -> <unk>, BOS context, EOS. Where this test can run, the
+    reader is fully validated; elsewhere it stays opt-in
+    (kenlm_probing=True) with structural validation only."""
+    bb = shutil.which("build_binary")
+    if bb is None:
+        pytest.skip("kenlm build_binary not on PATH")
+    out = str(tmp_path / "lm_probing_reader.bin")
+    subprocess.run([bb, "probing", ARPA, out], check=True, capture_output=True)
+
+    ours_bin = BeamSearchDecoderWithLM(
+        ["a", "b", " "], beam_width=4, alpha=1.0, beta=0.0, lm_path=out,
+        kenlm_probing=True)
+    for sent in SENTENCES:
+        words = sent.split()
+        km = list(theirs.full_scores(sent, bos=True, eos=True))
+        ctx = ["<s>"]
+        for w, (lp, _, _) in zip(words, km[:-1]):
+            mine = ours_bin.lm_score(ctx, w)
+            assert mine == pytest.approx(lp, abs=1e-4), (sent, w, mine, lp)
+            ctx.append(w)
+        assert ours_bin.lm_score(ctx, "</s>") == pytest.approx(
+            km[-1][0], abs=1e-4), sent
+
+
 def test_binary_header_parse_matches_real_build_binary(tmp_path, theirs):
     bb = shutil.which("build_binary")
     if bb is None:
