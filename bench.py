@@ -187,8 +187,12 @@ def bench_host_loader():
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_e2e_train(jax, state, step):
-    """On-disk FLAC -> BucketedLoader(workers, pcm16) -> prefetch -> step."""
+def bench_e2e_train(jax, state, step, transports=("pcm16", "mulaw8")):
+    """On-disk FLAC -> BucketedLoader(workers) -> prefetch -> step, measured
+    per wire transport IN THE SAME SESSION (the tunnel's H2D rate varies
+    45-107 MB/s across sessions, so cross-session on/off comparisons mostly
+    measure the weather; see tests/test_transport.py for the mulaw8
+    neutrality evidence). Returns {transport: audio_s/s}."""
     import shutil
     import tempfile
 
@@ -199,6 +203,7 @@ def bench_e2e_train(jax, state, step):
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     root = os.path.join(base, "cntpu_bench_corpus")
+    results = {}
     try:
         # 32 utts: enough for two distinct epochs at B=16; halves the FLAC
         # encode setup cost vs 48 (this section competes for end-of-budget
@@ -208,36 +213,38 @@ def bench_e2e_train(jax, state, step):
         ds = BucketedAudioTextDataset(
             read_manifest(mpath), tok, n_buckets=1, token_cap_per_sec=8.5
         )
-        loader = BucketedLoader(
-            ds, BATCH, shuffle=True, seed=0, drop_last=True,
-            bucketing_strategy="fully_randomized",
-            num_workers=max(2, (os.cpu_count() or 2)), pcm16=True,
-        )
+        for transport in transports:
+            loader = BucketedLoader(
+                ds, BATCH, shuffle=True, seed=0, drop_last=True,
+                bucketing_strategy="fully_randomized",
+                num_workers=max(2, (os.cpu_count() or 2)), transport=transport,
+            )
 
-        def epochs():
-            while True:
-                for b in loader:
-                    yield {"audio": b.audio, "audio_lens": b.audio_lens,
-                           "tokens": b.tokens, "token_lens": b.token_lens}
+            def epochs():
+                while True:
+                    for b in loader:
+                        yield {"audio": b.audio, "audio_lens": b.audio_lens,
+                               "tokens": b.tokens, "token_lens": b.token_lens}
 
-        batches = device_prefetch(epochs(), depth=2)
-        for _ in range(WARMUP):
-            state, metrics = step(state, next(batches))
-        _sync(metrics)
-        t0 = time.perf_counter()
-        waits = []
-        for _ in range(ITERS):
-            tb = time.perf_counter()
-            batch = next(batches)
-            waits.append(time.perf_counter() - tb)
-            state, metrics = step(state, batch)
-        _sync(metrics)
-        dt = time.perf_counter() - t0
-        print(f"[e2e] step avg {dt / ITERS * 1e3:.1f} ms; host batch-wait "
-              f"avg {np.mean(waits) * 1e3:.1f} ms max {np.max(waits) * 1e3:.1f} ms",
-              file=sys.stderr)
-        batches.close()
-        return BATCH * SECONDS * ITERS / dt
+            batches = device_prefetch(epochs(), depth=2)
+            for _ in range(WARMUP):
+                state, metrics = step(state, next(batches))
+            _sync(metrics)
+            t0 = time.perf_counter()
+            waits = []
+            for _ in range(ITERS):
+                tb = time.perf_counter()
+                batch = next(batches)
+                waits.append(time.perf_counter() - tb)
+                state, metrics = step(state, batch)
+            _sync(metrics)
+            dt = time.perf_counter() - t0
+            print(f"[e2e {transport}] step avg {dt / ITERS * 1e3:.1f} ms; "
+                  f"host batch-wait avg {np.mean(waits) * 1e3:.1f} ms "
+                  f"max {np.max(waits) * 1e3:.1f} ms", file=sys.stderr)
+            batches.close()
+            results[transport] = BATCH * SECONDS * ITERS / dt
+        return results
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -554,7 +561,12 @@ def run_section(name: str) -> dict:
         return out
     if name == "e2e":
         jax, jnp, cfg, state, step = _ctc_setup()
-        return {"e2e_train": round(bench_e2e_train(jax, state, step), 2)}
+        rates = bench_e2e_train(jax, state, step)
+        out = {"e2e_train": round(rates["pcm16"], 2)}
+        for t, r in rates.items():
+            if t != "pcm16":
+                out[f"e2e_train_{t}"] = round(r, 2)
+        return out
     if name == "ctc_decode":
         jax, jnp, cfg, state, _ = _ctc_setup()
         decode_rate, eval_rate = bench_ctc_decode(jax, jnp, cfg, state)

@@ -179,6 +179,7 @@ class _BaseASRModel:
             process_index=jax.process_index(), process_count=jax.process_count(),
             bucketing_strategy=ds_cfg.get("bucketing_strategy", "synced_randomized"),
             num_workers=int(ds_cfg.get("num_workers", 0) or 0),
+            transport=ds_cfg.get("transport"),
         )
 
     def fit(

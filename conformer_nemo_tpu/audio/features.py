@@ -302,6 +302,12 @@ def log_mel_spectrogram(
         # host->device copy is the training pipeline's bandwidth bottleneck);
         # dequantize on device to the same [-1, 1) scale load_audio uses.
         x = x * (1.0 / 32768.0)
+    elif waveform.dtype == jnp.int8:
+        # mu-law (mu=255) 8-bit transport (BucketedLoader transport=
+        # "mulaw8", encoder in data/audio_io.py mulaw8_encode): expand the
+        # companded code back to [-1, 1). 256**|y| == 2**(8|y|).
+        y = x * (1.0 / 127.0)
+        x = jnp.sign(y) * (jnp.exp2(8.0 * jnp.abs(y)) - 1.0) * (1.0 / 255.0)
     seq_len = mel_seq_len(cfg, lengths)
 
     needs_nb = training and 0.0 < cfg.nb_augmentation_prob and cfg.nb_max_freq < cfg.sample_rate / 2

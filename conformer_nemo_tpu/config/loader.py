@@ -76,6 +76,9 @@ _DS_KEYS = {
     "max_utts", "is_tarred", "tarred_audio_filepaths", "shuffle_n",
     "tarred_shard_strategy", "parser", "labels", "pin_memory", "drop_last",
     "bucketing_weights", "normalize_transcripts",
+    # our extension (not a reference key): host->device wire format —
+    # "f32" | "pcm16" | "mulaw8" (data/dataset.py BucketedLoader)
+    "transport",
 }
 # accepted for reference-recipe compatibility but deliberate no-ops here;
 # audited with an explanatory message instead of silence

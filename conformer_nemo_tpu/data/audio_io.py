@@ -279,6 +279,22 @@ class _Pcm16Fallback(Exception):
     pass
 
 
+def mulaw8_encode(x: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] (or int16) waveform -> int8 mu-law (mu=255) code.
+
+    8-bit transport format for bandwidth-limited host->device links: halves
+    the wire bytes vs pcm16 (quarters vs f32) at ~38 dB SNR — logarithmic
+    companding keeps quantization noise proportional to signal level, which
+    log-mel features are near-insensitive to (tests/test_transport.py
+    measures feature + WER neutrality). Device-side decode lives in
+    audio/features.py (int8 branch of log_mel_spectrogram)."""
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) * (1.0 / 32768.0)
+    x = np.clip(x.astype(np.float32), -1.0, 1.0)
+    y = np.sign(x) * np.log1p(255.0 * np.abs(x)) * (1.0 / np.log(256.0))
+    return np.clip(np.rint(y * 127.0), -127, 127).astype(np.int8)
+
+
 def write_wav(path: str, samples: np.ndarray, sr: int = 16000) -> None:
     """PCM16 writer (test fixtures)."""
     pcm = np.clip(samples, -1.0, 1.0)

@@ -163,6 +163,7 @@ class BucketedLoader:
         num_workers: int = 0,
         prefetch_batches: int = 2,
         pcm16: bool = False,
+        transport: Optional[str] = None,
     ):
         """bucketing_batch_size: per-bucket batch sizes (reference
         calc_bucketing_batch_sizes, audio_to_text_dataset.py:405): an int
@@ -200,10 +201,20 @@ class BucketedLoader:
         self.pad_id = pad_id
         self.num_workers = int(num_workers or 0)
         self.prefetch_batches = max(1, int(prefetch_batches))
-        # pcm16: emit audio as int16 (device dequantizes in the mel frontend,
-        # audio/features.py) — halves host->device bytes, which is the
-        # pipeline bottleneck on bandwidth-limited hosts.
-        self.pcm16 = bool(pcm16)
+        # transport: host->device wire format, decoded in the mel frontend
+        # (audio/features.py). "f32" = float32; "pcm16" = int16 (halves H2D
+        # bytes; lossless for PCM sources); "mulaw8" = int8 mu-law (quarters
+        # H2D bytes at ~38 dB SNR — for transport-bound links; feature/WER
+        # neutrality measured in tests/test_transport.py). Default f32 —
+        # real hosts are rarely H2D-bound; opt in per train_ds config.
+        # `pcm16=True` is the original boolean spelling of transport="pcm16".
+        transport = transport or ("pcm16" if pcm16 else "f32")
+        if transport not in ("f32", "pcm16", "mulaw8"):
+            raise ValueError(f"unknown transport {transport!r} "
+                             "(expected f32 | pcm16 | mulaw8)")
+        self.transport = transport
+        # int sources skip the float dequant/requant pass for both int formats
+        self.pcm16 = transport in ("pcm16", "mulaw8")
         self.epoch = 0
 
     def _plan(self) -> list[tuple[int, list[int]]]:
@@ -349,14 +360,20 @@ class BucketedLoader:
         t_cap = self.ds.boundaries[bucket]
         u_cap = self.ds.token_caps[bucket]
         bsz = self.bucket_batch[bucket]  # pad batch dim too: static shapes
-        audio = np.zeros((bsz, t_cap), dtype=np.int16 if self.pcm16 else np.float32)
+        wire_dtype = {"f32": np.float32, "pcm16": np.int16,
+                      "mulaw8": np.int8}[self.transport]
+        audio = np.zeros((bsz, t_cap), dtype=wire_dtype)
         audio_lens = np.zeros((bsz,), dtype=np.int32)
         tokens = np.full((bsz, u_cap), self.pad_id, dtype=np.int32)
         token_lens = np.zeros((bsz,), dtype=np.int32)
         texts: List[str] = []
         for row, (wav, toks, text) in enumerate(items):
             n = min(len(wav), t_cap)
-            if self.pcm16 and wav.dtype != np.int16:
+            if self.transport == "mulaw8":
+                from conformer_nemo_tpu.data.audio_io import mulaw8_encode
+
+                audio[row, :n] = mulaw8_encode(wav[:n])
+            elif self.transport == "pcm16" and wav.dtype != np.int16:
                 audio[row, :n] = np.clip(wav[:n] * 32768.0, -32768, 32767).astype(np.int16)
             else:
                 audio[row, :n] = wav[:n]
