@@ -262,11 +262,23 @@ class RelPosMultiHeadAttention(nn.Module):
 
             ab = jnp.concatenate([mod_a, mod_b], axis=-1).transpose(0, 2, 1, 3)  # [B, T, H, D]
             cs = jnp.concatenate([cos_t, sin_t], axis=-1)  # [T, D]
-            qs_full = jnp.concatenate([qu, ab], axis=-1)  # [B, T, H, dk+D]
+            # LANE ALIGNMENT: pad the score depth (dk+D = 576) and value
+            # depth (dk = 64) to multiples of the 128-lane tile INSIDE these
+            # concats (zero depth contributes nothing to QK^T / output
+            # columns sliced away). Measured on-chip at T=3072: the aligned
+            # kernels run ~1.5x faster (banded fullT 6.0 -> 3.8 ms fwd) and
+            # the manual-DMA streamed kernels REQUIRE aligned slices; doing
+            # it here fuses the pad into the concat instead of paying a
+            # separate ~4.5 ms materialization per call.
+            d1_pad = -(dk + d_model) % 128
+            dv_pad = -dk % 128
+            zpad = lambda p: jnp.zeros((b, t, h, p), cfg.dtype)
+            qs_full = jnp.concatenate([qu, ab, zpad(d1_pad)], axis=-1)
             cs_b = jnp.broadcast_to(
                 cs[None, :, None, :], (b, t, h, d_model)
             ).astype(cfg.dtype)
-            ks_full = jnp.concatenate([k, cs_b], axis=-1)
+            ks_full = jnp.concatenate([k, cs_b, zpad(d1_pad)], axis=-1)
+            v_pad = jnp.concatenate([v.astype(cfg.dtype), zpad(dv_pad)], axis=-1)
             # pad T to a tile boundary (padded keys are masked by lens; padded
             # query rows are sliced away)
             t_pad = -t % 128
@@ -280,9 +292,9 @@ class RelPosMultiHeadAttention(nn.Module):
             # window; out-of-band tiles are skipped (O(T*w) compute)
             band_l, band_r = (int(x) for x in cfg.att_context_size)
             o = flash_attention(
-                to_bh(qs_full), to_bh(ks_full), to_bh(v), lens_rep,
+                to_bh(qs_full), to_bh(ks_full), to_bh(v_pad), lens_rep,
                 256, 512, 1.0 / math.sqrt(dk), interpret, band_l, band_r,
-            )[:, :t]
+            )[:, :t, :dk]
             out = o.reshape(b, h, t, dk).transpose(0, 2, 1, 3).reshape(b, t, h * dk)
             out = jnp.where(
                 jnp.arange(t)[None, :, None] < lengths[:, None, None], out, 0.0

@@ -39,6 +39,12 @@ MATRIX = [
     ("flash+r", 2048, 8), ("dense+r", 2048, 8),
     ("flash+r", 3072, 8), ("dense+r", 3072, 8),
     ("flash+r", 6144, 8), ("dense+r", 6144, 8),
+    # banded (att_context_size (128,128) -> block-banded STREAMING kernels):
+    # time and memory scale with the band width w, not T — the ceiling rows
+    # below are unreachable for unbanded flash (its full-T VMEM blocks blow
+    # the 100 MB scoped budget past T~10k; see flash_attention.py).
+    ("band+r", 6144, 8), ("flash+r", 12288, 8),
+    ("band+r", 12288, 8), ("band+r", 24576, 8),
 ]
 # resume support: skip keys already recorded in FLASHMEM_SKIP (comma list)
 
@@ -56,13 +62,15 @@ def run_one(mode: str, t_enc: int, b: int) -> dict:
         ConformerEncoder, ConformerEncoderConfig)
 
     n_layers = int(os.environ.get("FLASHMEM_LAYERS", "18"))
+    banded = mode.startswith("band")
     cfg = ConformerEncoderConfig(
         feat_in=80, n_layers=n_layers, d_model=512, n_heads=8,
         conv_norm_type="layer_norm",  # BN stats are irrelevant to the memory story
         dropout=0.0, dropout_att=0.0, dropout_emb=0.0,
         dtype=jnp.bfloat16,
-        use_flash_attention=mode.startswith("flash"),
+        use_flash_attention=mode.startswith("flash") or banded,
         remat=mode.endswith("+r"),
+        att_context_size=(128, 128) if banded else (-1, -1),
     )
     model = ConformerEncoder(cfg)
     t_mel = 4 * t_enc

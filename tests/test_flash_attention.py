@@ -129,12 +129,22 @@ def test_flash_fused_bwd_zero_and_short_lengths_no_nan():
 
 
 @pytest.mark.parametrize("band", [(64, 64), (32, 0), (0, 96), (128, 16)])
-def test_banded_flash_matches_dense_banded(band):
+@pytest.mark.parametrize("family", ["fullT", "stream"])
+def test_banded_flash_matches_dense_banded(band, family, monkeypatch):
     """att_context_size banding folded into the kernel: fwd + all three
     grads match the dense banded reference (query i attends key j iff
     i - j <= left and j - i <= right), including out-of-band tile skipping
-    and short lengths."""
+    and short lengths. Runs BOTH kernel families (the full-T-block banded
+    kernel and, for two-sided bands, the manual-DMA streamed kernel)."""
+    from conformer_nemo_tpu.ops.pallas import flash_attention as fa
+
     left, right = band
+    if family == "stream":
+        if left < 0 or right < 0:
+            pytest.skip("streamed kernels serve two-sided bands only")
+        monkeypatch.setattr(fa, "_STREAM_MIN_T", 64)
+    else:
+        monkeypatch.setattr(fa, "_STREAM_MIN_T", 10**9)
     rng = np.random.RandomState(3)
     bh, t, d1, dv = 3, 256, 32, 16
     qs = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
@@ -183,6 +193,96 @@ def test_banded_flash_unlimited_equals_default():
     c = flash_attention(qs, ks, v, lens, 64, 64, 1.0, True, t, t)  # >= T band
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
+
+
+def test_streamed_band_tile_table():
+    """_stream_table: exact in-band tile ranges — the per-block DMA count is
+    set by the band width, independent of T, and every range is in bounds."""
+    from conformer_nemo_tpu.ops.pallas import flash_attention as fa
+
+    t, bq, bk, left, right = 1024, 128, 128, 128, 128
+    starts, nloc = fa._stream_table(t, bq, bk, left, right)
+    assert starts.shape == nloc.shape == (t // bq,)
+    assert nloc.max() == 3  # ceil((128+128+128)/128) tiles, NOT t//bk == 8
+    assert (starts >= 0).all() and (nloc >= 1).all()
+    assert (starts + nloc <= t // bk).all()
+    for i in range(t // bq):
+        lo = max(0, (i * bq - left) // bk)
+        hi = min(t // bk, ((i + 1) * bq - 1 + right) // bk + 1)
+        assert starts[i] == lo and starts[i] + nloc[i] == hi
+    # doubling T must not change the per-block DMA volume for a fixed band
+    _, nloc2 = fa._stream_table(2 * t, bq, bk, left, right)
+    assert nloc2.max() == nloc.max()
+
+
+def test_two_sided_band_takes_streamed_kernels(monkeypatch):
+    """Dispatch guard: a two-sided band at T >= _STREAM_MIN_T must use the
+    block-banded streaming kernels (O(T*w) DMA + O(w) VMEM), never the
+    full-T-block kernels (whose VMEM grows with T)."""
+    from conformer_nemo_tpu.ops.pallas import flash_attention as fa
+
+    def boom(*a, **k):
+        raise AssertionError("full-T kernel used for a two-sided band")
+
+    monkeypatch.setattr(fa, "_STREAM_MIN_T", 64)  # test-size threshold
+    monkeypatch.setattr(fa, "_flash_fwd_entry", boom)
+    monkeypatch.setattr(fa, "_flash_bwd_entry", boom)
+    rng = np.random.RandomState(7)
+    bh, t, d1, dv = 2, 256, 16, 16
+    qs = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
+    ks = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, t, dv), jnp.float32)
+    lens = jnp.asarray([t, t - 30], jnp.int32)
+
+    def loss(qs, ks, v):
+        return jnp.sum(fa.flash_attention(qs, ks, v, lens, 64, 128, 0.3,
+                                          True, 48, 16))
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(qs, ks, v)
+    assert np.isfinite(float(val)) and all(
+        np.isfinite(np.asarray(g)).all() for g in grads)
+    # unbanded still reaches the full-T kernel
+    with pytest.raises(AssertionError, match="full-T"):
+        fa.flash_attention(qs, ks, v, lens, 64, 128, 0.3, True)
+
+
+def test_streamed_band_large_t_parity(monkeypatch):
+    """Streamed kernels at T >> band (real tile skipping on both grid
+    shapes): fwd + all grads vs dense banded reference."""
+    from conformer_nemo_tpu.ops.pallas import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_STREAM_MIN_T", 64)  # force the streamed path
+    left, right = 96, 32
+    rng = np.random.RandomState(11)
+    bh, t, d1, dv = 2, 768, 24, 16
+    qs = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
+    ks = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, t, dv), jnp.float32)
+    lens = jnp.asarray([t, t - 250], jnp.int32)
+    scale = 0.2
+    weight = jnp.asarray(rng.randn(bh, t, dv), jnp.float32)
+    row_ok = jnp.arange(t)[None, :, None] < lens[:, None, None]
+
+    def dense(qs, ks, v):
+        s = jnp.einsum("bqd,bkd->bqk", qs, ks) * scale
+        i = jnp.arange(t)[None, :, None]
+        j = jnp.arange(t)[None, None, :]
+        mask = (j < lens[:, None, None]) & (i - j <= left) & (j - i <= right)
+        return jax.nn.softmax(jnp.where(mask, s, -1e30), axis=-1) @ v
+
+    def loss_flash(qs, ks, v):
+        o = flash_attention(qs, ks, v, lens, 128, 128, scale, True, left, right)
+        return jnp.sum(jnp.where(row_ok, o, 0.0) * weight)
+
+    def loss_dense(qs, ks, v):
+        return jnp.sum(jnp.where(row_ok, dense(qs, ks, v), 0.0) * weight)
+
+    val_f, g_f = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(qs, ks, v)
+    val_d, g_d = jax.value_and_grad(loss_dense, argnums=(0, 1, 2))(qs, ks, v)
+    assert val_f == pytest.approx(val_d, rel=1e-5)
+    for a, b, name in zip(g_f, g_d, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
 
 
 def test_banded_encoder_flash_matches_dense_path():

@@ -81,7 +81,8 @@ def _fit_one_step(model):
 
 @pytest.mark.parametrize("name", ["conformer_ctc_char.yaml",
                                   "conformer_ctc_bpe.yaml",
-                                  "conformer_ctc_bpe_longform.yaml"])
+                                  "conformer_ctc_bpe_longform.yaml",
+                                  "conformer_ctc_bpe_streaming.yaml"])
 def test_ctc_configs(name, corpus):
     from conformer_nemo_tpu.api import ConformerCTC
 
