@@ -213,9 +213,18 @@ class BucketedLoader:
             raise ValueError(f"unknown transport {transport!r} "
                              "(expected f32 | pcm16 | mulaw8)")
         self.transport = transport
-        # int sources skip the float dequant/requant pass for both int formats
-        self.pcm16 = transport in ("pcm16", "mulaw8")
         self.epoch = 0
+
+    @property
+    def pcm16(self) -> bool:
+        """True when the wire format is integer (int sources then skip the
+        float dequant/requant pass in load_item). Settable for backward
+        compatibility: `loader.pcm16 = True` selects pcm16 transport."""
+        return self.transport in ("pcm16", "mulaw8")
+
+    @pcm16.setter
+    def pcm16(self, value: bool):
+        self.transport = "pcm16" if value else "f32"
 
     def _plan(self) -> list[tuple[int, list[int]]]:
         """The epoch's batch plan: (bucket, sample indices) in emission order.
