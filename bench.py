@@ -213,7 +213,15 @@ def bench_e2e_train(jax, state, step, transports=("pcm16", "mulaw8")):
         ds = BucketedAudioTextDataset(
             read_manifest(mpath), tok, n_buckets=1, token_cap_per_sec=8.5
         )
+        t_section = time.perf_counter()
         for transport in transports:
+            if results and time.perf_counter() - t_section > 420:
+                # protect the section's 900 s cap: a timeout-kill loses the
+                # WHOLE section (and wedges the tunnel backend) — better to
+                # ship the first transport's number than risk both
+                print(f"[e2e] skipping {transport} (section time guard)",
+                      file=sys.stderr)
+                break
             loader = BucketedLoader(
                 ds, BATCH, shuffle=True, seed=0, drop_last=True,
                 bucketing_strategy="fully_randomized",
