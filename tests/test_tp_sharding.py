@@ -155,3 +155,52 @@ def test_batchnorm_is_sync_under_data_sharding():
     for a, b in zip(jax.tree.leaves(bs1), jax.tree.leaves(bs2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_banded_flash_encoder_tp_matches_dp(monkeypatch):
+    """The streaming recipe at scale: a BANDED FLASH encoder (Pallas
+    kernels, incl. the manual-DMA streamed family) under a dp x tp mesh
+    must match the dp-only step — Pallas calls partition correctly across
+    the batch*heads dimension under XLA SPMD. Guards the
+    conformer_ctc_bpe_streaming.yaml configuration's multi-chip path."""
+    import dataclasses
+
+    from conformer_nemo_tpu.ops.pallas import flash_attention as fa
+
+    def flash_cfg():
+        cfg = tiny_cfg()
+        return dataclasses.replace(
+            cfg,
+            encoder=dataclasses.replace(
+                cfg.encoder, use_flash_attention=True,
+                flash_attention_min_t=8, att_context_size=(12, 4)),
+        )
+
+    def mk(mesh, family):
+        sched = make_lr_schedule(
+            {"name": "NoamAnnealing", "d_model": 32, "warmup_steps": 10}, 0.1)
+        opt = make_optimizer("adamw", sched, weight_decay=1e-3, grad_clip=1.0)
+        cfg = flash_cfg()
+        state = init_ctc_state(cfg, opt, jax.random.PRNGKey(0), (1, 32, 64))
+        step = make_ctc_train_step(cfg, opt, mesh=mesh, state_template=state)
+        return cfg, state, step
+
+    batch = synth_batch(b=4)
+    for family, min_t in (("fullT", 10**9), ("stream", 1)):
+        monkeypatch.setattr(fa, "_STREAM_MIN_T", min_t)
+
+        mesh_dp = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+        _, state_dp, step_dp = mk(mesh_dp, family)
+        state_dp, m_dp = step_dp(state_dp, shard_batch(mesh_dp, batch))
+
+        mesh_tp = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+        _, state_tp, step_tp = mk(mesh_tp, family)
+        with mesh_tp:
+            state_tp = shard_state(mesh_tp, state_tp)
+        state_tp, m_tp = step_tp(state_tp, shard_batch(mesh_tp, batch))
+
+        np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]),
+                                   rtol=1e-5, err_msg=family)
+        np.testing.assert_allclose(float(m_dp["grad_norm"]),
+                                   float(m_tp["grad_norm"]), rtol=1e-4,
+                                   err_msg=family)
