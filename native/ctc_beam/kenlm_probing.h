@@ -337,6 +337,39 @@ class Model {
       *err = "KenLM probing binary: vocab table overfull";
       return false;
     }
+
+    // Strong self-validation when the binary carries its word strings
+    // (build_binary default): every stored word, murmur-hashed and probed
+    // through the vocab table, must resolve to its own index. This proves
+    // the hash function, seed, bucket formula, probing order and entry
+    // packing against THIS file — not just plausibility. (The n-gram key
+    // chain is still only provable against the real library; see the
+    // gated differential tests.)
+    if (words_offset_) {
+      const char* p = reinterpret_cast<const char*>(map_) + words_offset_;
+      const char* wend = reinterpret_cast<const char*>(map_) + map_size_;
+      uint64_t checked = 0;
+      for (uint32_t id = 0; p < wend && checked < 65536; ++id) {
+        size_t len = strnlen(p, (size_t)(wend - p));
+        if (len == 0 && id > 0) break;  // trailing padding
+        std::string w(p, len);
+        p += len + 1;
+        if (id == 0) {
+          // <unk> (or <UNK>) is id 0 and never inserted in the table
+          if (w != "<unk>" && w != "<UNK>") {
+            *err = "KenLM probing binary: word strings do not start with <unk>";
+            return false;
+          }
+          continue;
+        }
+        if (WordId(w) != id) {
+          *err = "KenLM probing binary: vocab self-check failed for word '" +
+                 w + "' (hash scheme or table layout mismatch)";
+          return false;
+        }
+        ++checked;
+      }
+    }
     return true;
   }
 

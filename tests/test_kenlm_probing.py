@@ -271,6 +271,25 @@ def test_truncated_probing_binary_rejected(probing_bin, tmp_path):
         BeamSearchDecoderWithLM(["a", " "], lm_path=bad, kenlm_probing=True)
 
 
+def test_vocab_self_check_catches_hash_mismatch(tmp_path):
+    """Load-time self-validation: when word strings are present, every word
+    must hash+probe to its own id. Corrupting one vocab-table value makes
+    the load fail with a precise error instead of silently mis-scoring."""
+    out = str(tmp_path / "corrupt.bin")
+    write_probing_binary(ARPA, out)
+    with open(out, "rb") as f:
+        blob = bytearray(f.read())
+    # find the vocab entry for 'the' (id 3) and break its stored id
+    key = murmur64a(b"the")
+    pos = blob.find(struct.pack("<Q", key))
+    assert pos > 0
+    struct.pack_into("<I", blob, pos + 8, 5)  # wrong id
+    with open(out, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="self-check failed"):
+        BeamSearchDecoderWithLM(["a", " "], lm_path=out, kenlm_probing=True)
+
+
 def test_probing_binary_without_word_strings(tmp_path, arpa_lm):
     """include_vocab=False binaries (no trailing strings) resolve the layout
     via the exact-size equation and still score identically."""
