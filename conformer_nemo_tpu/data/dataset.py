@@ -376,11 +376,11 @@ class BucketedLoader:
         tokens = np.full((bsz, u_cap), self.pad_id, dtype=np.int32)
         token_lens = np.zeros((bsz,), dtype=np.int32)
         texts: List[str] = []
+        if self.transport == "mulaw8":
+            from conformer_nemo_tpu.data.audio_io import mulaw8_encode
         for row, (wav, toks, text) in enumerate(items):
             n = min(len(wav), t_cap)
             if self.transport == "mulaw8":
-                from conformer_nemo_tpu.data.audio_io import mulaw8_encode
-
                 audio[row, :n] = mulaw8_encode(wav[:n])
             elif self.transport == "pcm16" and wav.dtype != np.int16:
                 audio[row, :n] = np.clip(wav[:n] * 32768.0, -32768, 32767).astype(np.int16)
