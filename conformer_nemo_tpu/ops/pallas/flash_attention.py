@@ -20,18 +20,19 @@ Design (standard online-softmax flash):
   probability matrix ever reaches HBM in either direction.
 
 Banding (att_context_size): static (left, right) window limits fold into
-the tile masks. Two-sided bands (left >= 0 AND right >= 0) take the
-BLOCK-BANDED STREAMING kernels: the streamed operand (K/V in fwd and dQ;
-Q/dO in dK/dV) stays in HBM (BlockSpec(memory_space=ANY)) and each program
-manually DMAs ONLY the tiles that can intersect its band slice into a
-double-buffered VMEM scratch (pltpu.make_async_copy; prefetch j+1 while
-computing j), guided by scalar-prefetched per-block `starts`/`nloc`
-tables. HBM traffic and the VMEM working set are therefore O(T*w),
-independent of T. This is the streaming-consistent long-form training
+the tile masks, and out-of-band tiles are skipped in the full-T kernels
+via dynamic fori_loop bounds — banded compute is O(T*w) in BOTH kernel
+families. Two-sided bands (left >= 0 AND right >= 0) at T >=
+_STREAM_MIN_T additionally take the BLOCK-BANDED STREAMING kernels: the
+streamed operand (K/V in fwd and dQ; Q/dO in dK/dV) stays in HBM
+(BlockSpec(memory_space=ANY)) and each program manually DMAs ONLY the
+tiles that can intersect its band slice into a double-buffered VMEM
+scratch (pltpu.make_async_copy; prefetch j+1 while computing j), guided
+by scalar-prefetched per-block `starts`/`nloc` tables — HBM traffic AND
+the VMEM working set become O(T*w)/O(w), unbounded in T. Below the
+threshold the full-T banded kernel is simply faster (measured; see
+_STREAM_MIN_T). This is the streaming-consistent long-form training
 configuration (conformer_encoder.py:263-267 banding + SURVEY §5.7).
-One-sided / unlimited bands (left or right < 0) use the full-T-block
-kernels with dynamic fori_loop tile-skip bounds — for those the in-band
-region grows with T anyway (VMEM ceiling ~T=10k, see _COMPILER_PARAMS).
 
 Interpret-mode tests (CPU) check parity vs the naive formulation
 (tests/test_flash_attention.py).
