@@ -54,9 +54,11 @@ _NEG_INF = -1e30
 # Full-T streaming blocks (K/V in fwd and dQ; Q/dO/lse/delta in dK/dV) put
 # the kernels' scoped-VMEM stack over the 16 MB default once T >= 2048
 # (measured on-chip: 17.33 MB at T=2048, B*H=64, d1=576). Budget scales
-# linearly with T: ~9 MB/1k frames -> the 100 MB cap carries to T ~= 10k
-# frames (~7 min of audio post-subsampling); past that the streamed side
-# must be tiled too.
+# linearly with T (~9-11 MB/1k frames with aligned depths); T=12288
+# compiled and ran under the 100 MB cap (round-4 matrix), so the practical
+# full-T ceiling is somewhere past that — the banded streaming kernels
+# (O(w) VMEM) take over at _STREAM_MIN_T regardless, and unbanded runs at
+# such T are dominated by O(T^2) compute anyway.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
