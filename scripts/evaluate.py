@@ -23,9 +23,14 @@ def main():
                     help="rnnt: greedy_batch | beam_batch | beam | tsd | alsd | maes; "
                          "ctc: greedy | beamsearch_ngram")
     ap.add_argument("--beam-size", type=int, default=4)
-    ap.add_argument("--lm-path", default=None, help="ARPA n-gram LM (ctc beamsearch_ngram)")
+    ap.add_argument("--lm-path", default=None,
+                    help="n-gram LM for ctc beamsearch_ngram: ARPA text, or "
+                         "a probing-structure KenLM .bin with --kenlm-probing")
     ap.add_argument("--beam-alpha", type=float, default=1.0)
     ap.add_argument("--beam-beta", type=float, default=1.5)
+    ap.add_argument("--kenlm-probing", action="store_true",
+                    help="read probing-structure KenLM .bin LMs directly "
+                         "(see decode/ctc_beam.py BeamSearchDecoderWithLM)")
     args = ap.parse_args(leftover)
 
     from conformer_nemo_tpu.api import ConformerCTC, ConformerTransducer
@@ -45,7 +50,8 @@ def main():
             model.change_decoding_strategy({
                 "strategy": args.decoding_strategy,
                 "beam": {"beam_width": args.beam_size, "alpha": args.beam_alpha,
-                         "beta": args.beam_beta, "lm_path": args.lm_path},
+                         "beta": args.beam_beta, "lm_path": args.lm_path,
+                         "kenlm_probing": args.kenlm_probing},
             })
     samples = read_manifest(args.manifest)
     hyps = model.transcribe([s.audio_file for s in samples], batch_size=args.batch_size)

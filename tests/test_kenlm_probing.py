@@ -271,6 +271,41 @@ def test_truncated_probing_binary_rejected(probing_bin, tmp_path):
         BeamSearchDecoderWithLM(["a", " "], lm_path=bad, kenlm_probing=True)
 
 
+def test_ctc_api_strategy_accepts_probing_bin(tmp_path, probing_bin):
+    """change_decoding_strategy beam.kenlm_probing plumbs through to the
+    native reader (the evaluate.py --kenlm-probing surface)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conformer_nemo_tpu.api import ConformerCTC
+    from conformer_nemo_tpu.data.audio_io import write_wav
+    from conformer_nemo_tpu.data.tokenizers import CharTokenizer
+
+    p = str(tmp_path / "u.wav")
+    write_wav(p, (0.1 * np.random.RandomState(0).randn(8000)).astype(
+        np.float32), 16000)
+    model = ConformerCTC(
+        {"model": {"labels": list("ab "), "sample_rate": 16000,
+                   "preprocessor": {},
+                   "encoder": {"n_layers": 1, "d_model": 32, "n_heads": 2,
+                               "subsampling_conv_channels": 32},
+                   "decoder": {}}},
+        CharTokenizer(list("ab ")), dtype=jnp.float32)
+    model.state = model._init_state(model._make_optimizer())
+    model.change_decoding_strategy({
+        "strategy": "beamsearch_ngram",
+        "beam": {"beam_width": 4, "lm_path": probing_bin,
+                 "kenlm_probing": True}})
+    out = model.transcribe([p], batch_size=1)
+    assert isinstance(out[0], str) and set(out[0]) <= set("ab ")
+    # without the opt-in the same config rejects at decoder construction
+    model.change_decoding_strategy({
+        "strategy": "beamsearch_ngram",
+        "beam": {"beam_width": 4, "lm_path": probing_bin}})
+    with pytest.raises(ValueError, match="kenlm_probing=True"):
+        model.transcribe([p], batch_size=1)
+
+
 def test_vocab_self_check_catches_hash_mismatch(tmp_path):
     """Load-time self-validation: when word strings are present, every word
     must hash+probe to its own id. Corrupting one vocab-table value makes
