@@ -217,14 +217,22 @@ class BucketedLoader:
 
     @property
     def pcm16(self) -> bool:
-        """True when the wire format is integer (int sources then skip the
-        float dequant/requant pass in load_item). Settable for backward
-        compatibility: `loader.pcm16 = True` selects pcm16 transport."""
+        """True when the wire format is INTEGER (pcm16 OR mulaw8 — int
+        sources then skip the float dequant/requant pass in load_item; the
+        batch dtype is int16 for pcm16 but int8 for mulaw8, so do not treat
+        True as 'wire is int16'). Settable for backward compatibility:
+        `loader.pcm16 = True` selects pcm16 transport on a float loader but
+        is a no-op on a loader already configured for an integer transport
+        (it must not silently downgrade mulaw8 to pcm16)."""
         return self.transport in ("pcm16", "mulaw8")
 
     @pcm16.setter
     def pcm16(self, value: bool):
-        self.transport = "pcm16" if value else "f32"
+        if value:
+            if self.transport == "f32":
+                self.transport = "pcm16"
+        else:
+            self.transport = "f32"
 
     def _plan(self) -> list[tuple[int, list[int]]]:
         """The epoch's batch plan: (bucket, sample indices) in emission order.

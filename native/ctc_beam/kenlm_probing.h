@@ -136,6 +136,27 @@ inline bool ParseHeader(const uint8_t* data, size_t size, HeaderInfo* out,
     *err = "not a KenLM binary (magic mismatch)";
     return false;
   }
+  // Pin the format version: the payload layouts implemented here are the
+  // version-5 ones. A future-version binary must be rejected explicitly,
+  // not structurally (the size equation + vocab self-check are a backstop,
+  // not a version check).
+  {
+    uint64_t ver = 0;
+    size_t vp = magic_len;
+    bool any = false;
+    while (vp < size && data[vp] >= '0' && data[vp] <= '9') {
+      ver = ver * 10 + (data[vp] - '0');
+      ++vp;
+      any = true;
+    }
+    if (!any || vp >= size || data[vp] != '\n' || ver != 5) {
+      *err = "KenLM binary format version " +
+             (any ? std::to_string(ver) : std::string("(unparsable)")) +
+             " is not supported (this reader implements the version-5 "
+             "layouts); dump the model back to ARPA with kenlm";
+      return false;
+    }
+  }
   // reference-value pattern: f32 0.0, 1.0, -0.5; u32 1, u32 max; u64 1
   // (28 packed bytes — same pattern decode/kenlm_binary.py scans for)
   uint8_t sanity[28];

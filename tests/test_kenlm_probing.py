@@ -325,6 +325,23 @@ def test_vocab_self_check_catches_hash_mismatch(tmp_path):
         BeamSearchDecoderWithLM(["a", " "], lm_path=out, kenlm_probing=True)
 
 
+def test_unknown_format_version_rejected(tmp_path):
+    """The payload reader implements the version-5 layouts; a binary with a
+    different version digit must be rejected BY VERSION, not left to the
+    structural checks (which a layout-compatible future version would pass)."""
+    out = str(tmp_path / "v6.bin")
+    write_probing_binary(ARPA, out)
+    with open(out, "rb") as f:
+        blob = bytearray(f.read())
+    i = blob.find(b"format version 5")
+    assert i >= 0
+    blob[i + len(b"format version ")] = ord("6")
+    with open(out, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="version 6"):
+        BeamSearchDecoderWithLM(["a", " "], lm_path=out, kenlm_probing=True)
+
+
 def test_probing_binary_without_word_strings(tmp_path, arpa_lm):
     """include_vocab=False binaries (no trailing strings) resolve the layout
     via the exact-size equation and still score identically."""

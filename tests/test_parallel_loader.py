@@ -153,3 +153,17 @@ def test_pcm16_loader_end_to_end(corpus):
         assert b.audio.dtype == np.int16
         np.testing.assert_array_equal(
             b.audio, np.clip(a.audio * 32768.0, -32768, 32767).astype(np.int16))
+
+
+def test_pcm16_setter_does_not_downgrade_mulaw8(corpus):
+    """`loader.pcm16 = True` on a mulaw8-configured loader is a no-op — the
+    boolean back-compat spelling must not silently rewrite an int8 transport
+    to int16. Setting False always restores f32."""
+    loader = _make(corpus, num_workers=0)
+    loader.transport = "mulaw8"
+    loader.pcm16 = True
+    assert loader.transport == "mulaw8" and loader.pcm16
+    loader.pcm16 = False
+    assert loader.transport == "f32" and not loader.pcm16
+    loader.pcm16 = True
+    assert loader.transport == "pcm16"
