@@ -492,8 +492,9 @@ class ConformerCTC(_BaseASRModel):
         'beamsearch_ngram' — prefix beam search with optional ARPA n-gram LM
         fusion in native C++ (the reference's external ctc_decoders + KenLM
         Scorer, beam_search_decoder.py:21-103). beam keys: beam_width, alpha,
-        beta, lm_path, nbest, kenlm_probing (opt-in direct reader for
-        probing-structure KenLM .bin files)."""
+        beta, lm_path, nbest, kenlm_bin (opt-in direct reader for KenLM .bin
+        files of the probing/trie/quant_trie structures; kenlm_probing is
+        the original spelling of the same opt-in)."""
         strategy = decoding_cfg.get("strategy", "greedy")
         if strategy not in ("greedy", "beamsearch_ngram"):
             raise ValueError(f"unknown CTC decoding strategy {strategy!r}")
@@ -513,7 +514,8 @@ class ConformerCTC(_BaseASRModel):
                 alpha=float(beam.get("alpha", 1.0)),
                 beta=float(beam.get("beta", 1.5)),
                 lm_path=beam.get("lm_path"),
-                kenlm_probing=bool(beam.get("kenlm_probing", False)),
+                kenlm_bin=bool(beam.get("kenlm_bin",
+                                        beam.get("kenlm_probing", False))),
             )
             # SentencePiece-style pieces mark word starts with '▁'
             self._beam_is_spm = any(t.startswith("▁") for t in vocab)

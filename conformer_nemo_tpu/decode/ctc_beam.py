@@ -35,6 +35,7 @@ def _compile() -> str:
     src_mtime = max(
         os.path.getmtime(_SRC),
         os.path.getmtime(os.path.join(os.path.dirname(_SRC), "kenlm_probing.h")),
+        os.path.getmtime(os.path.join(os.path.dirname(_SRC), "kenlm_trie.h")),
     )
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
         return _SO
@@ -53,8 +54,8 @@ def _load():
             lib.ctc_lm_free.argtypes = [ctypes.c_void_p]
             lib.ctc_lm_save_binary.restype = ctypes.c_int
             lib.ctc_lm_save_binary.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-            lib.ctc_lm_load_kenlm_probing.restype = ctypes.c_void_p
-            lib.ctc_lm_load_kenlm_probing.argtypes = [
+            lib.ctc_lm_load_kenlm_bin.restype = ctypes.c_void_p
+            lib.ctc_lm_load_kenlm_bin.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
             lib.ctc_lm_kenlm_word.restype = ctypes.c_int
             lib.ctc_lm_kenlm_word.argtypes = [
@@ -90,19 +91,22 @@ class BeamSearchDecoderWithLM:
         num_cpus: int = 4,
         lm_binary_cache: bool = True,
         kenlm_probing: bool = False,
+        kenlm_bin: bool = False,
     ):
         """lm_binary_cache: transparently cache the parsed ARPA tables next
         to the file (`<lm_path>.binlm`, our flat format — NOT KenLM .bin) and
         reload from the cache when fresh; large LMs then load in one read
         instead of a full text parse at serving startup.
 
-        kenlm_probing: opt-in direct reader for KenLM `.bin` files of the
-        PROBING data structure (the build_binary default). Off by default:
-        the reader's structural validation is thorough (see
-        native/ctc_beam/kenlm_probing.h) but full per-word score parity
-        against the real library is only provable where the kenlm wheel
-        exists (tests/test_kenlm_differential.py runs it there). Trie /
-        quantized binaries are always rejected with conversion guidance."""
+        kenlm_bin: opt-in direct reader for KenLM `.bin` files of the
+        PROBING (build_binary default), TRIE and QUANT_TRIE data structures
+        (native/ctc_beam/kenlm_probing.h / kenlm_trie.h). Off by default:
+        the readers' structural validation is thorough but full per-word
+        score parity against the real library is only provable where the
+        kenlm wheel exists (tests/test_kenlm_differential.py runs it there).
+        rest_probing and array-trie binaries are always rejected with
+        conversion guidance. `kenlm_probing` is the original (pre-trie)
+        spelling of the same opt-in."""
         self.vocab = list(vocab)
         self.blank_id = len(self.vocab)
         self.beam_width = beam_width
@@ -111,17 +115,18 @@ class BeamSearchDecoderWithLM:
         self.num_cpus = max(1, num_cpus)
         self._lib = _load()
         self._lm = None
+        kenlm_bin = kenlm_bin or kenlm_probing
         if lm_path:
             from conformer_nemo_tpu.decode.kenlm_binary import (
                 is_kenlm_binary, parse_header)
 
             if is_kenlm_binary(lm_path):
                 hdr = parse_header(lm_path)
-                probing = hdr is not None and hdr.model_type in (
-                    "probing",)
-                if probing and kenlm_probing:
+                readable = hdr is not None and hdr.model_type in (
+                    "probing", "trie", "quant_trie")
+                if readable and kenlm_bin:
                     err = ctypes.create_string_buffer(512)
-                    handle = self._lib.ctc_lm_load_kenlm_probing(
+                    handle = self._lib.ctc_lm_load_kenlm_bin(
                         lm_path.encode(), err, len(err))
                     if not handle:
                         raise ValueError(
@@ -131,12 +136,14 @@ class BeamSearchDecoderWithLM:
                         self.vocab + ["<blank>"]).encode()
                     return
                 hint = (
-                    "This IS a probing-structure binary: pass "
-                    "kenlm_probing=True to read it directly (per-word score "
-                    "parity vs the real library is enforced by "
-                    "tests/test_kenlm_differential.py wherever the kenlm "
-                    "wheel exists). Alternatively, "
-                    if probing else "")
+                    f"This IS a {hdr.model_type}-structure binary: pass "
+                    "kenlm_bin=True (alias kenlm_probing=True) to read it "
+                    "directly (per-word score parity vs the real library is "
+                    "enforced by tests/test_kenlm_differential.py wherever "
+                    "the kenlm wheel exists). Alternatively, "
+                    if readable else
+                    "The direct reader (kenlm_bin=True) covers probing, trie "
+                    "and quant_trie structures but not this one. ")
                 raise ValueError(
                     f"{lm_path} is a {hdr.describe() if hdr else 'KenLM binary'}. "
                     "This framework's scorer consumes ARPA text (plus its own "

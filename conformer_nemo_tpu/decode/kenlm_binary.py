@@ -9,17 +9,19 @@ format version, model type, order, per-order n-gram counts — so the error a
 user gets is actionable ("this is a 4-gram trie KenLM binary; dump it back
 to ARPA with kenlm") instead of a generic parse failure.
 
-This module stays header-only by design; the PROBING payload itself is
-readable through the opt-in mmap scorer in `native/ctc_beam/kenlm_probing.h`
-(`BeamSearchDecoderWithLM(..., kenlm_probing=True)`), which this parser
-gates: only files it identifies as model_type "probing" are offered that
-path, trie/quantized variants keep the actionable rejection (a mis-parsed
-table that "loads" would be strictly worse than a precise error).
+This module stays header-only by design; the PROBING payload is readable
+through the opt-in mmap scorer in `native/ctc_beam/kenlm_probing.h` and the
+TRIE / QUANT_TRIE payloads through `native/ctc_beam/kenlm_trie.h`
+(`BeamSearchDecoderWithLM(..., kenlm_bin=True)`; `kenlm_probing=True` is the
+original spelling), which this parser gates: only files it identifies as
+model_type probing/trie/quant_trie are offered that path; rest_probing and
+the array-trie variants keep the actionable rejection (a mis-parsed table
+that "loads" would be strictly worse than a precise error).
 `tests/test_kenlm_differential.py` carries `importorskip("kenlm")`-gated
 differential tests that validate the ARPA scorer, this header parser, and
-the probing payload reader against the real library in any environment
-that has it; `tests/test_kenlm_probing.py` validates the reader
-hermetically against a layout-exact fixture writer.
+the payload readers against the real library in any environment that has
+it; `tests/test_kenlm_probing.py` and `tests/test_kenlm_trie.py` validate
+the readers hermetically against layout-exact fixture writers.
 
 Layout parsed here (public format description, binary_format semantics):
   * Sanity block: magic string "mmap lm http://kheafield.com/code format

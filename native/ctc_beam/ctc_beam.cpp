@@ -9,8 +9,9 @@
 // This implementation is written from the published algorithm (Hannun et al.
 // 2014 prefix beam search; Katz-backoff ARPA scoring) — no code is taken from
 // ctc_decoders/KenLM. LM backends: ARPA text (+ our .binlm cache) and, via
-// explicit opt-in, KenLM PROBING binaries (kenlm_probing.h); trie/quantized
-// KenLM binaries keep the actionable rejection.
+// explicit opt-in, KenLM binaries of the probing (kenlm_probing.h) and
+// trie/quant_trie (kenlm_trie.h) families; rest_probing and array tries
+// keep the actionable rejection.
 //
 // Exposed via a C ABI for ctypes (no pybind11 in this image).
 
@@ -27,6 +28,7 @@
 #include <vector>
 
 #include "kenlm_probing.h"
+#include "kenlm_trie.h"
 
 namespace {
 
@@ -282,6 +284,24 @@ class KenlmProbingLM : public LmBase {
   kenlm_probing::Model model_;
 };
 
+// KenLM trie / quant_trie backend (mmap scorer; see kenlm_trie.h).
+class KenlmTrieLM : public LmBase {
+ public:
+  bool Load(const std::string& path, std::string* err) {
+    return model_.Load(path, err);
+  }
+  uint32_t LookupId(const std::string& w) const override {
+    return model_.WordId(w);
+  }
+  double Score(const std::vector<uint32_t>& ctx, uint32_t w) const override {
+    return model_.Score(ctx, w);
+  }
+  const kenlm_trie::Model& model() const { return model_; }
+
+ private:
+  kenlm_trie::Model model_;
+};
+
 // ---------------------------------------------------------------------------
 // Prefix beam search (Hannun et al. 2014) over char posteriors with optional
 // word-boundary LM fusion: at each completed word, add
@@ -466,29 +486,61 @@ void* ctc_lm_load(const char* arpa_path) {
   return static_cast<LmBase*>(lm);
 }
 
-// KenLM PROBING binary backend (explicit opt-in from Python; see
-// kenlm_probing.h for the format + validation). On failure returns null and
-// writes a precise reason into err_buf.
-void* ctc_lm_load_kenlm_probing(const char* path, char* err_buf, int err_cap) {
-  auto* lm = new KenlmProbingLM();
+// KenLM binary backend (explicit opt-in from Python). Dispatches on the
+// file's own model_type: 0 (probing) -> kenlm_probing.h, 2/3
+// (trie/quant_trie) -> kenlm_trie.h; rest_probing and the array-trie
+// variants get an error that names exactly which types decode. On failure
+// returns null and writes a precise reason into err_buf.
+void* ctc_lm_load_kenlm_bin(const char* path, char* err_buf, int err_cap) {
   std::string err;
-  if (!lm->Load(path, &err)) {
-    delete lm;
-    if (err_buf && err_cap > 0) {
-      std::snprintf(err_buf, (size_t)err_cap, "%s", err.c_str());
+  LmBase* out = nullptr;
+  {
+    // header peek chooses the backend; each backend re-validates fully
+    int fd = open(path, O_RDONLY);
+    uint8_t head[4096];
+    ssize_t n = fd >= 0 ? read(fd, head, sizeof(head)) : -1;
+    if (fd >= 0) close(fd);
+    kenlm_probing::HeaderInfo h;
+    if (n <= 0 || !kenlm_probing::ParseHeader(head, (size_t)n, &h, &err)) {
+      if (err.empty()) err = "cannot read " + std::string(path);
+    } else if (h.model_type == 0) {
+      auto* lm = new KenlmProbingLM();
+      if (lm->Load(path, &err)) out = lm; else delete lm;
+    } else if (h.model_type == 2 || h.model_type == 3) {
+      auto* lm = new KenlmTrieLM();
+      if (lm->Load(path, &err)) out = lm; else delete lm;
+    } else {
+      err = "KenLM model_type " + std::to_string(h.model_type) +
+            " is not supported by the direct reader (probing, trie and "
+            "quant_trie decode; rest_probing and array_trie/quant_array_trie "
+            "do not — dump those back to ARPA with kenlm)";
     }
-    return nullptr;
   }
-  return static_cast<LmBase*>(lm);
+  if (!out && err_buf && err_cap > 0) {
+    std::snprintf(err_buf, (size_t)err_cap, "%s", err.c_str());
+  }
+  return out;
 }
 
-// Word string for a KenLM-probing vocab id when the binary carries its
-// vocabulary strings (build_binary default); returns length or -1. Lets
-// tests and load-time self-checks enumerate real words without an ARPA.
+// Backward-compatible name (pre-trie ABI); same dispatcher.
+void* ctc_lm_load_kenlm_probing(const char* path, char* err_buf, int err_cap) {
+  return ctc_lm_load_kenlm_bin(path, err_buf, err_cap);
+}
+
+// Word string for a KenLM vocab id when the binary carries its vocabulary
+// strings (build_binary default); returns length or -1. Lets tests and
+// load-time self-checks enumerate real words without an ARPA.
 int ctc_lm_kenlm_word(void* lm_handle, uint32_t id, char* buf, int cap) {
-  auto* lm = dynamic_cast<KenlmProbingLM*>(static_cast<LmBase*>(lm_handle));
-  if (!lm || !lm->model().has_word_strings()) return -1;
-  std::string w = lm->model().WordString(id);
+  std::string w;
+  if (auto* p = dynamic_cast<KenlmProbingLM*>(static_cast<LmBase*>(lm_handle))) {
+    if (!p->model().has_word_strings()) return -1;
+    w = p->model().WordString(id);
+  } else if (auto* t = dynamic_cast<KenlmTrieLM*>(static_cast<LmBase*>(lm_handle))) {
+    if (!t->model().has_word_strings()) return -1;
+    w = t->model().WordString(id);
+  } else {
+    return -1;
+  }
   if (w.empty() && id != 0) return -1;
   if ((int)w.size() + 1 > cap) return -1;
   std::memcpy(buf, w.c_str(), w.size() + 1);

@@ -25,12 +25,15 @@ def main():
     ap.add_argument("--beam-size", type=int, default=4)
     ap.add_argument("--lm-path", default=None,
                     help="n-gram LM for ctc beamsearch_ngram: ARPA text, or "
-                         "a probing-structure KenLM .bin with --kenlm-probing")
+                         "a probing/trie/quant_trie KenLM .bin with "
+                         "--kenlm-bin")
     ap.add_argument("--beam-alpha", type=float, default=1.0)
     ap.add_argument("--beam-beta", type=float, default=1.5)
-    ap.add_argument("--kenlm-probing", action="store_true",
-                    help="read probing-structure KenLM .bin LMs directly "
-                         "(see decode/ctc_beam.py BeamSearchDecoderWithLM)")
+    ap.add_argument("--kenlm-bin", "--kenlm-probing", dest="kenlm_bin",
+                    action="store_true",
+                    help="read probing/trie/quant_trie KenLM .bin LMs "
+                         "directly (see decode/ctc_beam.py "
+                         "BeamSearchDecoderWithLM)")
     args = ap.parse_args(leftover)
 
     from conformer_nemo_tpu.api import ConformerCTC, ConformerTransducer
@@ -51,7 +54,7 @@ def main():
                 "strategy": args.decoding_strategy,
                 "beam": {"beam_width": args.beam_size, "alpha": args.beam_alpha,
                          "beta": args.beam_beta, "lm_path": args.lm_path,
-                         "kenlm_probing": args.kenlm_probing},
+                         "kenlm_bin": args.kenlm_bin},
             })
     samples = read_manifest(args.manifest)
     hyps = model.transcribe([s.audio_file for s in samples], batch_size=args.batch_size)

@@ -94,6 +94,39 @@ def test_probing_binary_reader_matches_real_kenlm(tmp_path, theirs):
             km[-1][0], abs=1e-4), sent
 
 
+@pytest.mark.parametrize("flavor", ["trie", "trie_q8"])
+def test_trie_binary_reader_matches_real_kenlm(tmp_path, theirs, flavor):
+    """THE ground-truth case for the trie payload reader
+    (native/ctc_beam/kenlm_trie.h): load a real `build_binary trie` (and
+    `-q 8` quant_trie) output directly and match kenlm's own per-word log10
+    scores. Where this test can run, the reader is fully validated;
+    elsewhere it stays opt-in (kenlm_bin=True) with structural validation
+    plus the layout-exact fixture tests in test_kenlm_trie.py."""
+    bb = shutil.which("build_binary")
+    if bb is None:
+        pytest.skip("kenlm build_binary not on PATH")
+    out = str(tmp_path / f"lm_{flavor}.bin")
+    args = [bb] + (["-q", "8", "-b", "8"] if flavor == "trie_q8" else []) + \
+        ["trie", ARPA, out]
+    subprocess.run(args, check=True, capture_output=True)
+    # quantized tries lose precision by design; bound the tolerance at the
+    # bin width kenlm itself reports back through its own scorer
+    their_bin = kenlm.Model(out)
+    ours_bin = BeamSearchDecoderWithLM(
+        ["a", "b", " "], beam_width=4, alpha=1.0, beta=0.0, lm_path=out,
+        kenlm_bin=True)
+    for sent in SENTENCES:
+        words = sent.split()
+        km = list(their_bin.full_scores(sent, bos=True, eos=True))
+        ctx = ["<s>"]
+        for w, (lp, _, _) in zip(words, km[:-1]):
+            mine = ours_bin.lm_score(ctx, w)
+            assert mine == pytest.approx(lp, abs=1e-4), (sent, w, mine, lp)
+            ctx.append(w)
+        assert ours_bin.lm_score(ctx, "</s>") == pytest.approx(
+            km[-1][0], abs=1e-4), sent
+
+
 def test_binary_header_parse_matches_real_build_binary(tmp_path, theirs):
     bb = shutil.which("build_binary")
     if bb is None:
