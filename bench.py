@@ -506,19 +506,20 @@ def selftest(jax, jnp):
     checks.append(("banded_flash", float(e), 2e-2))
 
     # ... and the STREAMED banded family (manual-DMA kernels; production
-    # dispatch takes them at T >= _STREAM_MIN_T, forced here at selftest T
-    # so an on-chip Mosaic regression in the DMA/table logic cannot hide)
+    # dispatch takes them once the full-T VMEM estimate exceeds the cap,
+    # forced here at selftest T so an on-chip Mosaic regression in the
+    # DMA/table logic cannot hide)
     from conformer_nemo_tpu.ops.pallas import flash_attention as _fa
 
-    saved_min_t = _fa._STREAM_MIN_T
+    saved_cap = _fa._VMEM_CAP_BYTES
     try:
-        _fa._STREAM_MIN_T = 1
+        _fa._VMEM_CAP_BYTES = 0
         vs, gs = jax.jit(
             jax.value_and_grad(loss_banded_flash, argnums=(0, 1, 2)))(q, k, vv)
         e = max(rel(vs, vd), *(rel_rows(a, b) for a, b in zip(gs, gd)))
         checks.append(("banded_flash_streamed", float(e), 2e-2))
     finally:
-        _fa._STREAM_MIN_T = saved_min_t
+        _fa._VMEM_CAP_BYTES = saved_cap
 
     bad = [f"{name} err={err:.2e} > {tol}" for name, err, tol in checks if not (err < tol)]
     return "ok" if not bad else "fail: " + "; ".join(bad)

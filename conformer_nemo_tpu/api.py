@@ -308,21 +308,37 @@ class _BaseASRModel:
         return {"steps": step, "time_s": time.time() - t0, **({"last_loss": float(metrics["loss"])} if metrics else {})}
 
     def transcribe(self, audio_paths: Sequence[str], batch_size: int = 16,
-                   logprobs: bool = False, return_hypotheses: bool = False):
+                   logprobs: bool = False, return_hypotheses: bool = False,
+                   longform_threshold_s: float = 60.0):
         """Offline transcription of audio files (ctc_models.transcribe parity:
         eval mode, dither off, bucket-padded batches).
 
         `logprobs=True` (CTC only, reference ctc_models.py:215) returns the
         per-file [T, V+1] log-probability arrays instead of text;
         `return_hypotheses=True` returns TranscriptionHypothesis objects
-        (text + token ids + score, mirroring rnnt_utils.Hypothesis:36)."""
+        (text + token ids + score, mirroring rnnt_utils.Hypothesis:36).
+
+        Long-form: utterances longer than `longform_threshold_s` take an
+        EXACT whole-utterance forward — one file per batch row, padded to a
+        geometric length schedule (threshold x 2^k seconds, so arbitrary
+        long lengths compile a bounded number of programs) — instead of the
+        shared `batch_size`-row buffer. The encoder's flash/banded-flash
+        dispatch keeps this exact path trained-model-faithful and
+        memory-feasible to the measured T=24576 (~16 min audio) ceiling
+        (docs/PERFORMANCE.md long-form matrix). The reference's only
+        long-audio answer is approximate chunk-merge
+        (streaming_utils.py:675 middle-token / :68 LCS), available here as
+        `transcribe_buffered` — the bounded-memory fallback beyond the
+        ceiling."""
         if logprobs and return_hypotheses:
             raise ValueError("logprobs and return_hypotheses are exclusive")
         mode = "logprobs" if logprobs else ("hypotheses" if return_hypotheses else "text")
         sr = self.raw_cfg["model"].get("sample_rate", 16000)
         wavs = [load_audio(p, target_sr=sr) for p in audio_paths]
+        long_cut = int(longform_threshold_s * sr)
+        short = [j for j, w in enumerate(wavs) if len(w) <= long_cut]
         # order by length for dense buckets, restore order at the end
-        order = np.argsort([len(w) for w in wavs])
+        order = sorted(short, key=lambda j: len(wavs[j]))
         out = [None] * len(wavs)
         for i in range(0, len(order), batch_size):
             idxs = order[i : i + batch_size]
@@ -336,6 +352,16 @@ class _BaseASRModel:
             results = self._decode_audio_batch(audio, lens, mode=mode)[: len(chunk)]
             for j, r in zip(idxs, results):
                 out[j] = r
+        for j, w in enumerate(wavs):
+            if len(w) <= long_cut:
+                continue
+            t_cap = long_cut
+            while t_cap < len(w):
+                t_cap *= 2
+            audio = np.zeros((1, t_cap), np.float32)
+            audio[0, : len(w)] = w
+            out[j] = self._decode_audio_batch(
+                audio, np.array([len(w)], np.int32), mode=mode)[0]
         return out
 
     @property

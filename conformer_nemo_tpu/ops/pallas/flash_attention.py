@@ -22,16 +22,18 @@ Design (standard online-softmax flash):
 Banding (att_context_size): static (left, right) window limits fold into
 the tile masks, and out-of-band tiles are skipped in the full-T kernels
 via dynamic fori_loop bounds — banded compute is O(T*w) in BOTH kernel
-families. Two-sided bands (left >= 0 AND right >= 0) at T >=
-_STREAM_MIN_T additionally take the BLOCK-BANDED STREAMING kernels: the
+families. Two-sided bands (left >= 0 AND right >= 0) whose full-T blocks
+would exceed the scoped-VMEM budget (closed-form estimate
+_fullt_vmem_estimate(T, d1, dv) vs the 100 MB cap; _STREAM_MIN_T stays as
+the depth-less fallback) take the BLOCK-BANDED STREAMING kernels: the
 streamed operand (K/V in fwd and dQ; Q/dO in dK/dV) stays in HBM
 (BlockSpec(memory_space=ANY)) and each program manually DMAs ONLY the
 tiles that can intersect its band slice into a double-buffered VMEM
 scratch (pltpu.make_async_copy; prefetch j+1 while computing j), guided
 by scalar-prefetched per-block `starts`/`nloc` tables — HBM traffic AND
-the VMEM working set become O(T*w)/O(w), unbounded in T. Below the
-threshold the full-T banded kernel is simply faster (measured; see
-_STREAM_MIN_T). This is the streaming-consistent long-form training
+the VMEM working set become O(T*w)/O(w), unbounded in T. While the full-T
+blocks fit, the full-T banded kernel is simply faster (measured through
+T~=12288). This is the streaming-consistent long-form training
 configuration (conformer_encoder.py:263-267 banding + SURVEY §5.7).
 
 Interpret-mode tests (CPU) check parity vs the naive formulation
@@ -737,19 +739,44 @@ def _flash_bwd_streamed(qs, ks, v, do, lse, delta, lens, bq, bk, scale,
     return dq, dk, dvv
 
 
-# Banded dispatch threshold: below it the full-T-block banded kernel wins
-# (its fori_loop already skips out-of-band tiles, so compute is O(T*w); a
-# single shared full-T K/V block is fast, and the per-program fixed costs
-# of manual DMA streaming are not yet amortized — measured at T=3072
-# band(128,128): fullT 3.8 ms vs streamed 5.2 ms fwd on aligned inputs).
-# At and above it the full-T blocks approach the 100 MB scoped-VMEM cap
-# (~9-11 MB/1k frames) and the streamed kernels take over with O(w) VMEM
-# and O(T*w) DMA — unbounded T.
+# Banded dispatch: the full-T-block banded kernel wins while its scoped
+# VMEM fits (its fori_loop already skips out-of-band tiles, so compute is
+# O(T*w); a single shared full-T K/V block is fast, and the per-program
+# fixed costs of manual DMA streaming are not yet amortized — measured at
+# T=3072 band(128,128): fullT 3.8 ms vs streamed 5.2 ms fwd on aligned
+# inputs, and the kernel table in docs/PERFORMANCE.md has fullT leading by
+# 15-29% through T~=12288). Once the full-T blocks would blow the 100 MB
+# scoped-VMEM cap, the streamed kernels take over with O(w) VMEM and
+# O(T*w) DMA — unbounded T.
+#
+# The estimate below is calibrated against on-chip Mosaic scoped-vmem
+# measurements: every full-T kernel family holds two full-T operands
+# (fwd/dQ: K[T,d1]+V[T,dv]; dK/dV: Q[T,d1]+dO[T,dv]) which Mosaic stages
+# fp32 and double-buffers across grid steps -> ~8 bytes per element, plus
+# a fixed tile/accumulator term. Measured: 17.33 MB at T=2048, d1+dv=640
+# (estimate 18.5 MB); T=12288 at d1+dv=768 compiled and ran under the cap
+# (estimate 83.5 MB). Dispatch keeps a 0.9 safety factor so the edge of
+# the estimate cannot produce a Mosaic scoped-vmem compile failure.
+_VMEM_CAP_BYTES = 100 * 1024 * 1024  # == _COMPILER_PARAMS.vmem_limit_bytes
+_VMEM_SAFETY = 0.9
+# fallback threshold when the caller cannot supply depths (kept from the
+# round-4 measured dispatch; conservative for flagship depths)
 _STREAM_MIN_T = 8192
 
 
-def _is_streamed(left: int, right: int, t: int) -> bool:
-    return left >= 0 and right >= 0 and t >= _STREAM_MIN_T
+def _fullt_vmem_estimate(t: int, d1: int, dv: int) -> int:
+    """Scoped-VMEM bytes the full-T banded kernels need at sequence length
+    t with score depth d1 and value depth dv (calibration above)."""
+    return t * (d1 + dv) * 8 + 8 * 1024 * 1024
+
+
+def _is_streamed(left: int, right: int, t: int,
+                 d1: int | None = None, dv: int | None = None) -> bool:
+    if left < 0 or right < 0:
+        return False  # one-sided/unlimited bands have no streamed kernels
+    if d1 is None or dv is None:
+        return t >= _STREAM_MIN_T
+    return _fullt_vmem_estimate(t, d1, dv) > _VMEM_SAFETY * _VMEM_CAP_BYTES
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
@@ -767,7 +794,7 @@ def flash_attention(
     one-sided/unlimited bands take the full-T-block kernels with fori_loop
     tile skipping (O(T*w) compute, O(T) DMA).
     """
-    if _is_streamed(left, right, qs.shape[1]):
+    if _is_streamed(left, right, qs.shape[1], qs.shape[-1], v.shape[-1]):
         return _flash_fwd_streamed(qs, ks, v, lens, bq, bk, scale, interpret,
                                    False, left, right)
     return _flash_fwd_entry(qs, ks, v, lens, bq, bk, scale, interpret,
@@ -775,7 +802,7 @@ def flash_attention(
 
 
 def _flash_vjp_fwd(qs, ks, v, lens, bq, bk, scale, interpret, left, right):
-    if _is_streamed(left, right, qs.shape[1]):
+    if _is_streamed(left, right, qs.shape[1], qs.shape[-1], v.shape[-1]):
         o, lse = _flash_fwd_streamed(qs, ks, v, lens, bq, bk, scale,
                                      interpret, True, left, right)
     else:
@@ -790,7 +817,7 @@ def _flash_vjp_bwd(bq, bk, scale, interpret, left, right, res, g):
     # elementwise+reduce, XLA fuses it — no kernel needed
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
                     keepdims=True)  # [bh, t, 1], matching lse's layout
-    if _is_streamed(left, right, qs.shape[1]):
+    if _is_streamed(left, right, qs.shape[1], qs.shape[-1], v.shape[-1]):
         dq, dk, dv = _flash_bwd_streamed(
             qs, ks, v, g, lse, delta, lens, bq, bk, scale, interpret,
             left, right)

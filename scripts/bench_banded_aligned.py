@@ -2,7 +2,7 @@
 what the conformer now feeds): fwd and fwd+bwd for the full-T banded
 kernel and the manual-DMA streamed kernel, plus unbanded flash, at the
 flagship attention shape. Informs docs/PERFORMANCE.md's banded section
-and the _STREAM_MIN_T dispatch note.
+and the VMEM-estimate dispatch note.
 
 Run detached: python scripts/bench_banded_aligned.py > /tmp/baligned.log 2>&1 &
 """

@@ -142,9 +142,9 @@ def test_banded_flash_matches_dense_banded(band, family, monkeypatch):
     if family == "stream":
         if left < 0 or right < 0:
             pytest.skip("streamed kernels serve two-sided bands only")
-        monkeypatch.setattr(fa, "_STREAM_MIN_T", 64)
+        monkeypatch.setattr(fa, "_VMEM_CAP_BYTES", 0)  # force streamed
     else:
-        monkeypatch.setattr(fa, "_STREAM_MIN_T", 10**9)
+        monkeypatch.setattr(fa, "_VMEM_CAP_BYTES", 10**15)  # force full-T
     rng = np.random.RandomState(3)
     bh, t, d1, dv = 3, 256, 32, 16
     qs = jnp.asarray(rng.randn(bh, t, d1), jnp.float32)
@@ -215,16 +215,46 @@ def test_streamed_band_tile_table():
     assert nloc2.max() == nloc.max()
 
 
+def test_vmem_estimate_dispatch():
+    """Dispatch is a closed-form scoped-VMEM estimate, not a T threshold:
+    full-T while the estimate fits the (0.9 x 100 MB) cap, streamed beyond.
+    Calibration anchors: 17.33 MB measured at T=2048/d1+dv=640;
+    T=12288/d1+dv=768 compiled and ran under the cap on-chip — both must
+    dispatch full-T; the 8192-12288 flagship window therefore runs at
+    full-T speed (~1.15-1.3x the streamed path, docs/PERFORMANCE.md)."""
+    from conformer_nemo_tpu.ops.pallas import flash_attention as fa
+
+    est = fa._fullt_vmem_estimate(2048, 576, 64)
+    assert abs(est - 17.33e6) / 17.33e6 < 0.25  # tracks the measurement
+    cap = fa._VMEM_SAFETY * fa._VMEM_CAP_BYTES
+    assert fa._fullt_vmem_estimate(12288, 640, 128) < cap
+
+    # full-T through the window the streamed path used to (needlessly) own
+    for t in (2048, 8192, 10240, 12288):
+        assert not fa._is_streamed(128, 128, t, 640, 128), t
+    # streamed once the estimate exceeds the cap (T=24576 trains at B=2
+    # only because the streamed kernels keep VMEM O(w))
+    for t in (16384, 24576):
+        assert fa._is_streamed(128, 128, t, 640, 128), t
+    # one-sided / unlimited bands never stream
+    assert not fa._is_streamed(-1, -1, 32768, 640, 128)
+    assert not fa._is_streamed(128, -1, 32768, 640, 128)
+    # depth-less fallback keeps the round-4 threshold
+    assert not fa._is_streamed(128, 128, 4096)
+    assert fa._is_streamed(128, 128, 8192)
+
+
 def test_two_sided_band_takes_streamed_kernels(monkeypatch):
-    """Dispatch guard: a two-sided band at T >= _STREAM_MIN_T must use the
-    block-banded streaming kernels (O(T*w) DMA + O(w) VMEM), never the
-    full-T-block kernels (whose VMEM grows with T)."""
+    """Dispatch guard: a two-sided band whose full-T blocks would exceed
+    the scoped-VMEM estimate must use the block-banded streaming kernels
+    (O(T*w) DMA + O(w) VMEM), never the full-T-block kernels (whose VMEM
+    grows with T)."""
     from conformer_nemo_tpu.ops.pallas import flash_attention as fa
 
     def boom(*a, **k):
         raise AssertionError("full-T kernel used for a two-sided band")
 
-    monkeypatch.setattr(fa, "_STREAM_MIN_T", 64)  # test-size threshold
+    monkeypatch.setattr(fa, "_VMEM_CAP_BYTES", 0)  # test-size threshold
     monkeypatch.setattr(fa, "_flash_fwd_entry", boom)
     monkeypatch.setattr(fa, "_flash_bwd_entry", boom)
     rng = np.random.RandomState(7)
@@ -251,7 +281,7 @@ def test_streamed_band_large_t_parity(monkeypatch):
     shapes): fwd + all grads vs dense banded reference."""
     from conformer_nemo_tpu.ops.pallas import flash_attention as fa
 
-    monkeypatch.setattr(fa, "_STREAM_MIN_T", 64)  # force the streamed path
+    monkeypatch.setattr(fa, "_VMEM_CAP_BYTES", 0)  # force the streamed path
     left, right = 96, 32
     rng = np.random.RandomState(11)
     bh, t, d1, dv = 2, 768, 24, 16

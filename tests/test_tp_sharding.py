@@ -186,8 +186,8 @@ def test_banded_flash_encoder_tp_matches_dp(monkeypatch):
         return cfg, state, step
 
     batch = synth_batch(b=4)
-    for family, min_t in (("fullT", 10**9), ("stream", 1)):
-        monkeypatch.setattr(fa, "_STREAM_MIN_T", min_t)
+    for family, cap in (("fullT", 10**15), ("stream", 0)):
+        monkeypatch.setattr(fa, "_VMEM_CAP_BYTES", cap)
 
         mesh_dp = make_mesh(data=4, model=1, devices=jax.devices()[:4])
         _, state_dp, step_dp = mk(mesh_dp, family)
