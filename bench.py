@@ -187,7 +187,8 @@ def bench_host_loader():
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_e2e_train(jax, state, step, transports=("pcm16", "mulaw8")):
+def bench_e2e_train(jax, state, step, transports=("pcm16", "mulaw8"),
+                    batch=BATCH):
     """On-disk FLAC -> BucketedLoader(workers) -> prefetch -> step, measured
     per wire transport IN THE SAME SESSION (the tunnel's H2D rate varies
     45-107 MB/s across sessions, so cross-session on/off comparisons mostly
@@ -223,7 +224,7 @@ def bench_e2e_train(jax, state, step, transports=("pcm16", "mulaw8")):
                       file=sys.stderr)
                 break
             loader = BucketedLoader(
-                ds, BATCH, shuffle=True, seed=0, drop_last=True,
+                ds, batch, shuffle=True, seed=0, drop_last=True,
                 bucketing_strategy="fully_randomized",
                 num_workers=max(2, (os.cpu_count() or 2)), transport=transport,
             )
@@ -251,13 +252,15 @@ def bench_e2e_train(jax, state, step, transports=("pcm16", "mulaw8")):
                   f"host batch-wait avg {np.mean(waits) * 1e3:.1f} ms "
                   f"max {np.max(waits) * 1e3:.1f} ms", file=sys.stderr)
             batches.close()
-            results[transport] = BATCH * SECONDS * ITERS / dt
+            results[transport] = batch * SECONDS * ITERS / dt
         return results
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_rnnt_train(jax, jnp):
+def _rnnt_setup(jax, jnp):
+    """RNN-T large train setup shared by the device-resident and the
+    loader-fed (e2e) measurements."""
     from conformer_nemo_tpu.models.conformer import ConformerEncoderConfig
     from conformer_nemo_tpu.models.rnnt import (
         RNNTDecoderConfig, RNNTJointConfig, RNNTModelConfig)
@@ -266,7 +269,6 @@ def bench_rnnt_train(jax, jnp):
     from conformer_nemo_tpu.train.rnnt_trainer import (
         RNNTTrainConfig, init_rnnt_state, make_rnnt_train_step)
 
-    b, u = 8, 96
     enc = ConformerEncoderConfig(feat_in=80, n_layers=17, d_model=512, n_heads=8,
                                  conv_norm_type="batch_norm", dtype=jnp.bfloat16)
     mcfg = RNNTModelConfig(
@@ -279,6 +281,15 @@ def bench_rnnt_train(jax, jnp):
     opt = make_optimizer("adamw", sched, weight_decay=1e-3, grad_clip=1.0)
     state = init_rnnt_state(cfg, opt, jax.random.PRNGKey(0))
     step = make_rnnt_train_step(cfg, opt)
+    return cfg, state, step
+
+
+RNNT_BATCH = 8
+
+
+def bench_rnnt_train(jax, jnp):
+    b, u = RNNT_BATCH, 96
+    cfg, state, step = _rnnt_setup(jax, jnp)
     t_samples = int(SECONDS * SR)
     rng = np.random.RandomState(0)
     batch = jax.tree.map(jnp.asarray, {
@@ -610,6 +621,19 @@ def run_section(name: str) -> dict:
         out["rnnt_train"] = round(tp, 2)
         out["rnnt_decode"] = round(bench_rnnt_decode(jax, jnp, rnnt_cfg, rnnt_state), 2)
         return out
+    if name == "e2e_rnnt":
+        # loader-fed RNN-T train (same transport pair, same session): the
+        # transport evidence for the second model family the blueprint
+        # targets (VERDICT r4 #6)
+        jax, jnp = _jax_with_cache()
+        _, state, step = _rnnt_setup(jax, jnp)
+        rates = bench_e2e_train(jax, state, step, batch=RNNT_BATCH)
+        first_t, first_rate = next(iter(rates.items()))
+        out = {"e2e_rnnt_train": round(first_rate, 2)}
+        for t, r in rates.items():
+            if t != first_t:
+                out[f"e2e_rnnt_train_{t}"] = round(r, 2)
+        return out
     # test-only fakes (no jax import; exercised by tests/test_bench_orchestrator.py)
     if name.startswith("fake_ok"):
         return {name: 1}
@@ -626,8 +650,10 @@ def run_section(name: str) -> dict:
 # inter-section cooldown — the tunneled backend mishandles a connection
 # opened right after the previous client disconnects).
 _DEFAULT_SECTIONS = (
-    "host_loader", "preflight", "primary", "selftest", "ctc_decode", "rnnt", "e2e")
-_TPU_SECTIONS = {"preflight", "primary", "selftest", "ctc_decode", "rnnt", "e2e"}
+    "host_loader", "preflight", "primary", "selftest", "ctc_decode", "rnnt",
+    "e2e", "e2e_rnnt")
+_TPU_SECTIONS = {"preflight", "primary", "selftest", "ctc_decode", "rnnt",
+                 "e2e", "e2e_rnnt"}
 
 
 def _env_f(name, default):
