@@ -274,7 +274,14 @@ def _rnnt_setup(jax, jnp):
     mcfg = RNNTModelConfig(
         encoder=enc,
         decoder=RNNTDecoderConfig(vocab_size=1024, pred_hidden=640, pred_rnn_layers=1),
-        joint=RNNTJointConfig(joint_hidden=640, fused_batch_size=4),
+        # whole-batch joint (no fused sub-batching): on TPU the fused
+        # lax.map chunking is a MEMORY knob, not a speed knob — it costs
+        # ~7.5 ms/step at B=8 (chunk-stacking copies + serialized chunks;
+        # round-5 floor audit, docs/PERFORMANCE.md RNN-T table) and the
+        # whole-batch [B,T,U,V] joint fits v5e HBM comfortably at these
+        # shapes (1.2 GB bf16 at B=16).
+        joint=RNNTJointConfig(joint_hidden=640, fused_batch_size=0,
+                              fuse_loss_wer=False),
     )
     cfg = RNNTTrainConfig(model=mcfg)
     sched = make_lr_schedule({"name": "NoamAnnealing", "d_model": 512, "warmup_steps": 10000}, 2.0)
