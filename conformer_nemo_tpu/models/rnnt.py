@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from conformer_nemo_tpu.models.conformer import ConformerEncoder, ConformerEncoderConfig
+from conformer_nemo_tpu.ops.rnnt_fused import rnnt_loss_fused
 from conformer_nemo_tpu.ops.rnnt_loss import rnnt_loss_from_logits
 
 
@@ -76,6 +77,15 @@ class RNNTModelConfig:
     # lattice sweep implementation: "scan" | "pallas" | "auto"
     # (auto -> Pallas VMEM kernel on TPU, lax.scan elsewhere)
     lattice_impl: str = "auto"
+    # training joint+loss implementation: "dense" materializes the
+    # [B,T,U+1,V] logits (optionally sub-batched, the reference's fused
+    # path); "flash" runs the fused Pallas joint+loss-prep kernels
+    # (ops/pallas/rnnt_joint_kernel.py — no HBM logits). "auto" -> flash on
+    # TPU, dense elsewhere (the flash kernels run everywhere via interpret
+    # mode; dense is simply faster on CPU).
+    joint_impl: str = "auto"
+    # t-tile of the flash joint grid (VMEM ~ bt*U1*V*4 per program)
+    joint_flash_bt: int = 32
 
     @property
     def resolved_lattice_impl(self) -> str:
@@ -84,6 +94,14 @@ class RNNTModelConfig:
         if self.lattice_impl == "auto":
             return "pallas" if jax.default_backend() == "tpu" else "scan"
         return self.lattice_impl
+
+    @property
+    def resolved_joint_impl(self) -> str:
+        import jax
+
+        if self.joint_impl == "auto":
+            return "flash" if jax.default_backend() == "tpu" else "dense"
+        return self.joint_impl
 
     @property
     def blank_id(self) -> int:
@@ -359,6 +377,29 @@ class RNNTModel(nn.Module):
         cfg = self.cfg
         fused_bs = cfg.joint.fused_batch_size
         b = enc.shape[0]
+        if cfg.resolved_joint_impl == "flash":
+            # Fused Pallas joint+loss-prep: logits never reach HBM, so the
+            # fused_batch_size memory knob is moot on this path.
+            e, p = self.joint.project(enc, g)  # [B,T,H], [B,U+1,H]
+            dt = cfg.joint.dtype
+            drop_t = (
+                int(round(cfg.joint.dropout * 256))
+                if (train and cfg.joint.dropout > 0) else 0
+            )
+            if drop_t > 0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2 ** 31 - 1, jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            return rnnt_loss_fused(
+                e.astype(dt), p.astype(dt),
+                self.joint.out_kernel.astype(dt),
+                self.joint.out_bias.astype(dt),
+                targets, enc_lens, target_lengths, seed,
+                cfg.blank_id, cfg.fastemit_lambda, cfg.clamp,
+                cfg.resolved_lattice_impl, cfg.joint.activation, drop_t,
+                cfg.joint_flash_bt,
+            )
         if cfg.joint.fuse_loss_wer and fused_bs > 0 and b > fused_bs and b % fused_bs == 0:
             # Sub-batch the [b, T, U, V] joint materialization (reference
             # fused path, rnnt.py:839): project once (cheap, [B,T,H]/[B,U,H]),

@@ -1,0 +1,332 @@
+"""Fused RNN-T joint + loss-prep Pallas TPU kernels ("flash joint").
+
+Replaces the HBM-materialized joint of the whole-batch path (models/rnnt.py
+``RNNTJoint.__call__`` -> ops/rnnt_loss.py ``_prep``/``_rnnt_bwd``) for
+training. The reference frames the same problem as a *memory* problem and
+answers with batch sub-chunking (`/root/reference/nemo/collections/asr/
+modules/rnnt.py:792-949`, fused joint+loss over ``fused_batch_size`` slices);
+on TPU the round-5 floor audit (docs/PERFORMANCE.md) showed chunking costs
+14-21% and the real win is never writing the ``[B, T, U+1, V]`` logits (or
+the broadcast-add ``[B, T, U+1, H]``) to HBM at all:
+
+  forward   : per (b, t-tile) program, compute h = drop(act(e_t + p_u)) and
+              the ``[bt*U1, H] @ [H, V]`` logits tile entirely in VMEM; reduce
+              to the three ``[B, T, U+1]`` lattice streams the loss actually
+              needs (blank log-prob, label log-prob, logsumexp).
+  backward  : rematerialize the logits tile, form
+              dlogits = softmax * total - gb * 1[blank] - gy * 1[label]
+              in-tile, and contract immediately: de (per-tile), dp / dW /
+              dbias (grid-accumulated f32). dlogits never exists in HBM.
+
+HBM traffic drops from ~3.6 GB/step (B=8 flagship: logits fwd write + prep
+reads + grad write + 2 matmul re-reads) to the ~30 MB of e/p/W plus the
+[B,T,U+1] streams; the V-matmul count goes 3 -> 4 (one remat) — a trade the
+floor table prices at ~6 ms of a 53 ms step in the kernel's favor.
+
+Numerics mirror the unfused path op-for-op: the logits tile is rounded to
+the compute dtype after the f32-accumulated MXU matmul (exactly what
+``jnp.dot(bf16, bf16)`` emits), lse/selects run in f32 on that rounded tile,
+and dlogits is cast to the compute dtype before the backward matmuls — so
+the fused path is bit-comparable to the dense one in f32 and matches bf16
+within rounding (tests/test_rnnt_fused.py).
+
+Dropout inside a kernel that must agree between fwd and bwd (and with a CPU
+interpret-mode oracle — ``pltpu.prng_*`` has no CPU lowering in this JAX)
+uses a counter-based hash: murmur3's finalizer on (global element index ^
+seed). ``hash_keep_mask_reference`` reproduces the mask outside the kernel
+with the same formula, which is what makes the dropout path unit-testable
+exactly rather than statistically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+# np scalars (not jnp arrays): inlined as literals instead of captured as
+# pallas kernel constants.
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+
+
+def _hash_bits(idx: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 fmix32 of (idx ^ seed) — uint32 in, uint32 out, elementwise."""
+    x = idx ^ seed
+    x = x ^ (x >> 16)
+    x = x * _M1
+    x = x ^ (x >> 13)
+    x = x * _M2
+    return x ^ (x >> 16)
+
+
+def _keep_from_bits(bits: jnp.ndarray, drop_t: int) -> jnp.ndarray:
+    """Top byte of the hash >= drop_t keeps the element (realized drop rate
+    drop_t/256, the FastDropout convention from models/conformer.py)."""
+    return (bits >> 24).astype(jnp.int32) >= drop_t
+
+
+def hash_keep_mask_reference(shape, seed, drop_t: int) -> jnp.ndarray:
+    """Keep mask the kernels generate for a [B, Tp, U1, H] tensor, computed
+    with plain jnp for tests. ``seed`` is a length-1 int32 array."""
+    n = 1
+    for s in shape:
+        n *= s
+    idx = jnp.arange(n, dtype=jnp.uint32).reshape(shape)
+    return _keep_from_bits(_hash_bits(idx, seed.astype(jnp.uint32)[0]), drop_t)
+
+
+def _tile_keep(seed_ref, b, i, bt, u1, h, tp, drop_t):
+    """In-kernel keep mask for this program's [bt, U1, H] tile, matching
+    hash_keep_mask_reference on the padded [B, Tp, U1, H] global layout."""
+    seed = seed_ref[0].astype(jnp.uint32)
+    # uint32 from the start: the global index may exceed int32 at large
+    # B*T*U1*H and must wrap identically to hash_keep_mask_reference's
+    # jnp.arange(n, dtype=uint32).
+    base = (b * tp + i * bt).astype(jnp.uint32) * jnp.uint32((u1 * h) & 0xFFFFFFFF)
+    tt = jax.lax.broadcasted_iota(jnp.uint32, (bt, u1, h), 0)
+    uu = jax.lax.broadcasted_iota(jnp.uint32, (bt, u1, h), 1)
+    hh = jax.lax.broadcasted_iota(jnp.uint32, (bt, u1, h), 2)
+    idx = base + tt * jnp.uint32(u1 * h) + uu * jnp.uint32(h) + hh
+    return _keep_from_bits(_hash_bits(idx, seed), drop_t)
+
+
+def _act(x, activation: str):
+    if activation == "relu":
+        return jnp.maximum(x, 0)
+    if activation == "sigmoid":
+        return jax.nn.sigmoid(x)
+    return jnp.tanh(x)
+
+
+def _act_grad(x, h, activation: str):
+    """d act / d x from pre-activation x and activation output h."""
+    if activation == "relu":
+        return (x > 0).astype(h.dtype)
+    if activation == "sigmoid":
+        return h * (1 - h)
+    return 1 - h * h
+
+
+def _joint_tile(e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
+                activation, drop_t, inv_keep, dtype):
+    """Shared fwd compute: (x, h_dropped [bt,U1,H], logits3 [bt,U1,V] f32,
+    keep mask or None) for this program's tile."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    u1, h_dim = p_ref.shape[1], p_ref.shape[2]
+    v = w_ref.shape[1]
+    e = e_ref[0]  # [bt, H]
+    p = p_ref[0]  # [U1, H]
+    x = e[:, None, :] + p[None, :, :]  # [bt, U1, H] compute dtype
+    ha = _act(x, activation)
+    keep = None
+    if drop_t > 0:
+        keep = _tile_keep(seed_ref, b, i, bt, u1, h_dim, tp, drop_t)
+        ha = jnp.where(keep, ha * jnp.asarray(inv_keep, ha.dtype), 0)
+    hf = ha.reshape(bt * u1, h_dim)
+    # f32 MXU accumulation rounded to the compute dtype + bias: op-for-op the
+    # unfused jnp.dot(bf16, bf16) + bias of RNNTJoint.combine_fn.
+    logits = jax.lax.dot_general(
+        hf, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    logits = logits + b_ref[...].astype(dtype)  # [1, V] broadcast
+    logits3 = logits.reshape(bt, u1, v).astype(jnp.float32)
+    return x, ha, logits3, keep
+
+
+def _make_fwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype):
+    def kernel(seed_ref, e_ref, p_ref, w_ref, b_ref, oh_ref,
+               blank_ref, label_ref, lse_ref):
+        _, _, logits3, _ = _joint_tile(
+            e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
+            activation, drop_t, inv_keep, dtype)
+        m = jax.lax.stop_gradient(jnp.max(logits3, axis=2))
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits3 - m[:, :, None]), axis=2))
+        blank = jax.lax.index_in_dim(logits3, blank_id, axis=2, keepdims=False)
+        oh = oh_ref[0].astype(jnp.float32)  # [U1, V] one-hot of targets
+        label = jnp.sum(logits3 * oh[None, :, :], axis=2)
+        blank_ref[0] = blank - lse
+        label_ref[0] = label - lse
+        lse_ref[0] = lse
+
+    return kernel
+
+
+def _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype,
+                     clamp):
+    def kernel(seed_ref, g_ref, e_ref, p_ref, w_ref, b_ref, oh_ref,
+               lse_ref, total_ref, gb_ref, gy_ref,
+               de_ref, dp_ref, dw_ref, db_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        u1, h_dim = p_ref.shape[1], p_ref.shape[2]
+        v = w_ref.shape[1]
+        x, hf3, logits3, keep = _joint_tile(
+            e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
+            activation, drop_t, inv_keep, dtype)
+        probs = jnp.exp(logits3 - lse_ref[0][:, :, None])  # [bt, U1, V] f32
+        dlog = probs * total_ref[0][:, :, None]
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (bt, u1, v), 2)
+        dlog = dlog - jnp.where(iota_v == blank_id, gb_ref[0][:, :, None], 0.0)
+        dlog = dlog - gy_ref[0][:, :, None] * oh_ref[0][None, :, :].astype(jnp.float32)
+        if clamp > 0:
+            dlog = jnp.clip(dlog, -clamp, clamp)
+        dlog = dlog * g_ref[b]
+        dlogB = dlog.astype(dtype).reshape(bt * u1, v)
+
+        # dh (through dropout + activation) -> de tile / dp accumulator
+        dh = jax.lax.dot_general(
+            dlogB, w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(bt, u1, h_dim)
+        if keep is not None:
+            dh = jnp.where(keep, dh * jnp.asarray(inv_keep, dh.dtype), 0)
+        dx = (dh * _act_grad(x, hf3 if drop_t == 0 else _act(x, activation),
+                             activation)).astype(jnp.float32)
+        de_ref[0] = jnp.sum(dx, axis=1).astype(de_ref.dtype)
+
+        @pl.when(i == 0)
+        def _zero_dp():
+            dp_ref[0] = jnp.zeros((u1, h_dim), jnp.float32)
+
+        dp_ref[0] += jnp.sum(dx, axis=0)
+
+        @pl.when((b == 0) & (i == 0))
+        def _zero_dw():
+            dw_ref[...] = jnp.zeros((h_dim, v), jnp.float32)
+            db_ref[...] = jnp.zeros((1, v), jnp.float32)
+
+        dw_ref[...] += jax.lax.dot_general(
+            hf3.reshape(bt * u1, h_dim), dlogB, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[...] += jnp.sum(dlog.reshape(bt * u1, v), axis=0, keepdims=True)
+
+    return kernel
+
+
+def _pad_t(x, bt, value=0.0):
+    pad = -x.shape[1] % bt
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2),
+                    constant_values=value)
+    return x
+
+
+def _pick_bt(t: int, bt: int) -> int:
+    return max(1, min(bt, t))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blank_id", "activation", "drop_t", "bt", "interpret"))
+def joint_flash_fwd(e, p, w, bias, onehot, seed, *, blank_id: int,
+                    activation: str = "relu", drop_t: int = 0, bt: int = 32,
+                    interpret: bool = False):
+    """e [B,T,H], p [B,U1,H], w [H,V], bias [V], onehot [B,U1,V] (targets
+    one-hot in compute dtype), seed [1] i32 ->
+    (blank_lp, label_lp, lse) each [B,T,U1] f32.
+
+    label_lp's u = U1-1 column is the dummy select the caller invalidates
+    (ops/rnnt_loss.py ``_prep`` contract).
+    """
+    b, t, h = e.shape
+    u1, v = onehot.shape[1], w.shape[1]
+    bt = _pick_bt(t, bt)
+    ep = _pad_t(e, bt)
+    tp = ep.shape[1]
+    inv_keep = 1.0 / (1.0 - drop_t / 256.0) if drop_t > 0 else 1.0
+    outs = pl.pallas_call(
+        _make_fwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep,
+                         e.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, tp // bt),
+            in_specs=[
+                pl.BlockSpec((1, bt, h), lambda b, i, s: (b, i, 0)),
+                pl.BlockSpec((1, u1, h), lambda b, i, s: (b, 0, 0)),
+                pl.BlockSpec((h, v), lambda b, i, s: (0, 0)),
+                pl.BlockSpec((1, v), lambda b, i, s: (0, 0)),
+                pl.BlockSpec((1, u1, v), lambda b, i, s: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bt, u1), lambda b, i, s: (b, i, 0)),
+                pl.BlockSpec((1, bt, u1), lambda b, i, s: (b, i, 0)),
+                pl.BlockSpec((1, bt, u1), lambda b, i, s: (b, i, 0)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, tp, u1), jnp.float32)] * 3,
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(seed.astype(jnp.int32), ep, p, w, bias[None, :], onehot)
+    return tuple(o[:, :t] for o in outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blank_id", "activation", "drop_t", "bt", "clamp",
+                     "interpret"))
+def joint_flash_bwd(e, p, w, bias, onehot, lse, total, gb, gy, g, seed, *,
+                    blank_id: int, activation: str = "relu", drop_t: int = 0,
+                    bt: int = 32, clamp: float = -1.0,
+                    interpret: bool = False):
+    """Backward of the fused joint+loss-prep.
+
+    total/gb/gy [B,T,U1] f32 are the lattice posteriors of ops/rnnt_loss.py
+    ``_rnnt_bwd`` (zero outside each sample's lattice — which also zeroes the
+    padded t rows' contributions here); g [B] f32 is the upstream cotangent,
+    applied after clamping exactly as the unfused path does.
+    Returns (de [B,T,H] e.dtype, dp [B,U1,H] f32, dw [H,V] f32, db [V] f32).
+    """
+    b, t, h = e.shape
+    u1, v = onehot.shape[1], w.shape[1]
+    bt = _pick_bt(t, bt)
+    ep = _pad_t(e, bt)
+    tp = ep.shape[1]
+    pads = lambda x: _pad_t(x, bt)
+    inv_keep = 1.0 / (1.0 - drop_t / 256.0) if drop_t > 0 else 1.0
+    tu_spec = pl.BlockSpec((1, bt, u1), lambda b, i, s, g: (b, i, 0))
+    de, dp, dw, db = pl.pallas_call(
+        _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep,
+                         e.dtype, clamp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, tp // bt),
+            in_specs=[
+                pl.BlockSpec((1, bt, h), lambda b, i, s, g: (b, i, 0)),
+                pl.BlockSpec((1, u1, h), lambda b, i, s, g: (b, 0, 0)),
+                pl.BlockSpec((h, v), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, v), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, u1, v), lambda b, i, s, g: (b, 0, 0)),
+                tu_spec, tu_spec, tu_spec, tu_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bt, h), lambda b, i, s, g: (b, i, 0)),
+                pl.BlockSpec((1, u1, h), lambda b, i, s, g: (b, 0, 0)),
+                pl.BlockSpec((h, v), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, v), lambda b, i, s, g: (0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tp, h), e.dtype),
+            jax.ShapeDtypeStruct((b, u1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, v), jnp.float32),
+            jax.ShapeDtypeStruct((1, v), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(seed.astype(jnp.int32), g.astype(jnp.float32),
+      ep, p, w, bias[None, :], onehot,
+      # lse padded LARGE so the padded rows' exp(logits - lse) underflows to
+      # 0 (finite) — their total/gb/gy are 0, but inf * 0 would be NaN and
+      # the dp/dW accumulators sum over padded rows too.
+      _pad_t(lse, bt, 1e30), pads(total), pads(gb), pads(gy))
+    return de[:, :t], dp, dw, db[0]
