@@ -469,6 +469,55 @@ def selftest(jax, jnp):
     e = max(rel(v2, v1), rel_rows(g2, g1))
     checks.append(("rnnt_pallas", e, 1e-4))
 
+    # FLASH-JOINT fused kernels (ops/pallas/rnnt_joint_kernel.py): fwd +
+    # grads for e/p/W/bias vs the dense joint + rnnt_loss_from_logits — the
+    # TPU training path dispatches these (joint_impl=auto), so a Mosaic
+    # regression here must fail the bench, not just CI interpret tests.
+    from conformer_nemo_tpu.ops.rnnt_fused import rnnt_loss_fused
+
+    b, t, u, h, v = 2, 40, 8, 32, 21
+    e_in = jnp.asarray(rng.randn(b, t, h), jnp.float32) * 0.5
+    p_in = jnp.asarray(rng.randn(b, u + 1, h), jnp.float32) * 0.5
+    w_in = jnp.asarray(rng.randn(h, v), jnp.float32) * 0.3
+    bias_in = jnp.asarray(rng.randn(v), jnp.float32) * 0.1
+    tgt = jnp.asarray(rng.randint(0, v - 1, size=(b, u)), jnp.int32)
+    tl = jnp.asarray([t, t - 7], jnp.int32)
+    ul = jnp.asarray([u, u - 3], jnp.int32)
+    seed0 = jnp.zeros((1,), jnp.int32)
+
+    def dense_loss(e, p, w, bias):
+        x = e[:, :, None, :] + p[:, None, :, :]
+        logits = jnp.dot(jax.nn.relu(x), w) + bias
+        return rnnt_loss_from_logits(logits, tgt, tl, ul, v - 1).sum()
+
+    def flash_loss(e, p, w, bias):
+        return rnnt_loss_fused(e, p, w, bias, tgt, tl, ul, seed0,
+                               v - 1, 0.0, -1.0, "scan", "relu", 0, 16).sum()
+
+    (v1, g1) = jax.jit(jax.value_and_grad(dense_loss, argnums=(0, 1, 2, 3)))(
+        e_in, p_in, w_in, bias_in)
+    (v2, g2) = jax.jit(jax.value_and_grad(flash_loss, argnums=(0, 1, 2, 3)))(
+        e_in, p_in, w_in, bias_in)
+    # both sides' f32 matmuls run at the backend's default (bf16-pass)
+    # precision on different code paths (XLA vs Mosaic) — same tolerance
+    # rationale as flash_attention below.
+    e = max(rel(v2, v1), *(rel(a, bref) for a, bref in zip(g2, g1)))
+    checks.append(("rnnt_flash_joint", float(e), 2e-2))
+
+    # in-kernel hash dropout: same seed => identical loss (fwd/bwd mask
+    # regeneration), grads finite
+    def flash_drop(e):
+        return rnnt_loss_fused(e, p_in, w_in, bias_in, tgt, tl, ul,
+                               jnp.asarray([123], jnp.int32),
+                               v - 1, 0.0, -1.0, "scan", "relu", 64, 16).sum()
+
+    fd = jax.jit(jax.value_and_grad(flash_drop))
+    (d1, gd1), (d2, _) = fd(e_in), fd(e_in)
+    err = abs(float(d1) - float(d2)) / (abs(float(d1)) + 1e-6)
+    if not np.all(np.isfinite(np.asarray(gd1, np.float64))):
+        err = 1.0
+    checks.append(("rnnt_flash_dropout", err, 1e-6))
+
     # flash attention vs dense at one long-form shape
     from conformer_nemo_tpu.ops.pallas.flash_attention import flash_attention
 

@@ -798,6 +798,11 @@ class ConformerTransducer(_BaseASRModel):
                 ),
                 fastemit_lambda=float(loss_kwargs.get("fastemit_lambda", 0.0)),
                 clamp=float(loss_kwargs.get("clamp", -1.0)),
+                # TPU-side implementation knobs (no reference analogue):
+                # flash joint+loss kernels on TPU by default, dense
+                # elsewhere; see models/rnnt.py RNNTModelConfig.
+                joint_impl=joint_cfg.get("joint_impl", "auto"),
+                joint_flash_bt=int(joint_cfg.get("joint_flash_bt", 32)),
             ),
             variational_noise_std=float(vn.get("std", 0.0)),
             variational_noise_start=int(vn.get("start_step", 0)),

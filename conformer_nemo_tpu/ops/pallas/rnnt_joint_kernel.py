@@ -23,6 +23,15 @@ reads + grad write + 2 matmul re-reads) to the ~30 MB of e/p/W plus the
 [B,T,U+1] streams; the V-matmul count goes 3 -> 4 (one remat) — a trade the
 floor table prices at ~6 ms of a 53 ms step in the kernel's favor.
 
+Mosaic-shaped: everything inside the kernels is 2D with the (t, u) cell axis
+collapsed to rows (r = t*U1 + u). Mosaic lowers leading-dim *collapses* but
+not expands ("unsupported shape cast" on [bt*U1,V]->[bt,U1,V], found
+on-chip), so the per-cell streams stay [bt*U1, 1] columns (reshaped to
+[B, T, U+1] by XLA outside) and the sum-over-u / sum-over-t reductions of
+the backward are one-hot selection matmuls on the MXU rather than 3D
+reduces — the same contraction-over-gather/reshape idiom as the CTC one-hot
+emit select.
+
 Numerics mirror the unfused path op-for-op: the logits tile is rounded to
 the compute dtype after the f32-accumulated MXU matmul (exactly what
 ``jnp.dot(bf16, bf16)`` emits), lse/selects run in f32 on that rounded tile,
@@ -83,17 +92,18 @@ def hash_keep_mask_reference(shape, seed, drop_t: int) -> jnp.ndarray:
 
 
 def _tile_keep(seed_ref, b, i, bt, u1, h, tp, drop_t):
-    """In-kernel keep mask for this program's [bt, U1, H] tile, matching
-    hash_keep_mask_reference on the padded [B, Tp, U1, H] global layout."""
+    """In-kernel keep mask for this program's collapsed [bt*U1, H] tile,
+    matching hash_keep_mask_reference on the padded [B, Tp, U1, H] global
+    layout (row r = t_in_tile*U1 + u)."""
     seed = seed_ref[0].astype(jnp.uint32)
     # uint32 from the start: the global index may exceed int32 at large
     # B*T*U1*H and must wrap identically to hash_keep_mask_reference's
     # jnp.arange(n, dtype=uint32).
     base = (b * tp + i * bt).astype(jnp.uint32) * jnp.uint32((u1 * h) & 0xFFFFFFFF)
-    tt = jax.lax.broadcasted_iota(jnp.uint32, (bt, u1, h), 0)
-    uu = jax.lax.broadcasted_iota(jnp.uint32, (bt, u1, h), 1)
-    hh = jax.lax.broadcasted_iota(jnp.uint32, (bt, u1, h), 2)
-    idx = base + tt * jnp.uint32(u1 * h) + uu * jnp.uint32(h) + hh
+    # int32 iota + cast: Mosaic's iota lowering is int32-only
+    rr = jax.lax.broadcasted_iota(jnp.int32, (bt * u1, h), 0).astype(jnp.uint32)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (bt * u1, h), 1).astype(jnp.uint32)
+    idx = base + rr * jnp.uint32(h) + hh
     return _keep_from_bits(_hash_bits(idx, seed), drop_t)
 
 
@@ -116,43 +126,48 @@ def _act_grad(x, h, activation: str):
 
 def _joint_tile(e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
                 activation, drop_t, inv_keep, dtype):
-    """Shared fwd compute: (x, h_dropped [bt,U1,H], logits3 [bt,U1,V] f32,
-    keep mask or None) for this program's tile."""
+    """Shared fwd compute for this program's tile, all 2D with the (t, u)
+    axis collapsed: (xf [bt*U1,H] pre-act, h_dropped [bt*U1,H],
+    logits [bt*U1,V] f32, keep mask or None)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     u1, h_dim = p_ref.shape[1], p_ref.shape[2]
-    v = w_ref.shape[1]
     e = e_ref[0]  # [bt, H]
     p = p_ref[0]  # [U1, H]
-    x = e[:, None, :] + p[None, :, :]  # [bt, U1, H] compute dtype
-    ha = _act(x, activation)
+    x3 = e[:, None, :] + p[None, :, :]  # [bt, U1, H] compute dtype
+    xf = x3.reshape(bt * u1, h_dim)  # leading-dim collapse: Mosaic-legal
+    ha = _act(xf, activation)
     keep = None
     if drop_t > 0:
         keep = _tile_keep(seed_ref, b, i, bt, u1, h_dim, tp, drop_t)
-        ha = jnp.where(keep, ha * jnp.asarray(inv_keep, ha.dtype), 0)
-    hf = ha.reshape(bt * u1, h_dim)
+        ha = jnp.where(keep, ha * float(inv_keep), 0)
     # f32 MXU accumulation rounded to the compute dtype + bias: op-for-op the
     # unfused jnp.dot(bf16, bf16) + bias of RNNTJoint.combine_fn.
     logits = jax.lax.dot_general(
-        hf, w_ref[...], (((1,), (0,)), ((), ())),
+        ha, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype)
-    logits = logits + b_ref[...].astype(dtype)  # [1, V] broadcast
-    logits3 = logits.reshape(bt, u1, v).astype(jnp.float32)
-    return x, ha, logits3, keep
+    logits = (logits + b_ref[...].astype(dtype)).astype(jnp.float32)
+    return xf, ha, logits, keep
 
 
 def _make_fwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype):
-    def kernel(seed_ref, e_ref, p_ref, w_ref, b_ref, oh_ref,
+    def kernel(seed_ref, e_ref, p_ref, w_ref, b_ref, tgt_ref,
                blank_ref, label_ref, lse_ref):
-        _, _, logits3, _ = _joint_tile(
+        v = w_ref.shape[1]
+        u1 = p_ref.shape[1]
+        _, _, logits, _ = _joint_tile(
             e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
             activation, drop_t, inv_keep, dtype)
-        m = jax.lax.stop_gradient(jnp.max(logits3, axis=2))
-        lse = m + jnp.log(jnp.sum(jnp.exp(logits3 - m[:, :, None]), axis=2))
-        blank = jax.lax.index_in_dim(logits3, blank_id, axis=2, keepdims=False)
-        oh = oh_ref[0].astype(jnp.float32)  # [U1, V] one-hot of targets
-        label = jnp.sum(logits3 * oh[None, :, :], axis=2)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+        blank = jax.lax.index_in_dim(logits, blank_id, axis=1, keepdims=True)
+        # label select: one-hot by iota-compare against this tile's target
+        # column (pre-tiled [bt*U1, 1] i32) — no broadcast-collapse reshape,
+        # which Mosaic cannot lower (found on-chip)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (bt * u1, v), 1)
+        sel = iota_v == tgt_ref[0]
+        label = jnp.sum(jnp.where(sel, logits, 0.0), axis=1, keepdims=True)
         blank_ref[0] = blank - lse
         label_ref[0] = label - lse
         lse_ref[0] = lse
@@ -162,42 +177,56 @@ def _make_fwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype):
 
 def _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype,
                      clamp):
-    def kernel(seed_ref, g_ref, e_ref, p_ref, w_ref, b_ref, oh_ref,
-               lse_ref, total_ref, gb_ref, gy_ref,
+    def kernel(seed_ref, g_ref, e_ref, p_ref, w_ref, b_ref, tgt_ref,
+               usel_ref, lse_ref, total_ref, gb_ref, gy_ref,
                de_ref, dp_ref, dw_ref, db_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
         u1, h_dim = p_ref.shape[1], p_ref.shape[2]
         v = w_ref.shape[1]
-        x, hf3, logits3, keep = _joint_tile(
+        xf, ha, logits, keep = _joint_tile(
             e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
             activation, drop_t, inv_keep, dtype)
-        probs = jnp.exp(logits3 - lse_ref[0][:, :, None])  # [bt, U1, V] f32
-        dlog = probs * total_ref[0][:, :, None]
-        iota_v = jax.lax.broadcasted_iota(jnp.int32, (bt, u1, v), 2)
-        dlog = dlog - jnp.where(iota_v == blank_id, gb_ref[0][:, :, None], 0.0)
-        dlog = dlog - gy_ref[0][:, :, None] * oh_ref[0][None, :, :].astype(jnp.float32)
+        probs = jnp.exp(logits - lse_ref[0])  # [bt*U1, V] f32
+        dlog = probs * total_ref[0]
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (bt * u1, v), 1)
+        dlog = dlog - jnp.where(iota_v == blank_id, gb_ref[0], 0.0)
+        dlog = dlog - jnp.where(iota_v == tgt_ref[0], gy_ref[0], 0.0)
         if clamp > 0:
             dlog = jnp.clip(dlog, -clamp, clamp)
         dlog = dlog * g_ref[b]
-        dlogB = dlog.astype(dtype).reshape(bt * u1, v)
+        dlogB = dlog.astype(dtype)
 
-        # dh (through dropout + activation) -> de tile / dp accumulator
+        # dh (through dropout + activation) -> dx [bt*U1, H]
         dh = jax.lax.dot_general(
             dlogB, w_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(bt, u1, h_dim)
+        ).astype(dtype)
         if keep is not None:
-            dh = jnp.where(keep, dh * jnp.asarray(inv_keep, dh.dtype), 0)
-        dx = (dh * _act_grad(x, hf3 if drop_t == 0 else _act(x, activation),
-                             activation)).astype(jnp.float32)
-        de_ref[0] = jnp.sum(dx, axis=1).astype(de_ref.dtype)
+            dh = jnp.where(keep, dh * float(inv_keep), 0)
+        hact = ha if drop_t == 0 else _act(xf, activation)
+        dx = (dh * _act_grad(xf, hact, activation)).astype(jnp.float32)
+
+        # sum-over-u (de) and sum-over-t (dp) as one-hot selection matmuls:
+        # rows of the tile are r = t*U1 + u, so t-membership is a range test
+        # and u-membership a strided pattern — both built from iotas (no
+        # expand-reshape, no scatter).
+        r_t = jax.lax.broadcasted_iota(jnp.int32, (bt, bt * u1), 1)
+        t_of = jax.lax.broadcasted_iota(jnp.int32, (bt, bt * u1), 0)
+        tsel = ((r_t >= t_of * u1) & (r_t < (t_of + 1) * u1)).astype(jnp.float32)
+        de_ref[0] = jax.lax.dot_general(
+            tsel, dx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(de_ref.dtype)
 
         @pl.when(i == 0)
         def _zero_dp():
             dp_ref[0] = jnp.zeros((u1, h_dim), jnp.float32)
 
-        dp_ref[0] += jnp.sum(dx, axis=0)
+        dp_ref[0] += jax.lax.dot_general(
+            usel_ref[...], dx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
         @pl.when((b == 0) & (i == 0))
         def _zero_dw():
@@ -205,10 +234,10 @@ def _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype,
             db_ref[...] = jnp.zeros((1, v), jnp.float32)
 
         dw_ref[...] += jax.lax.dot_general(
-            hf3.reshape(bt * u1, h_dim), dlogB, (((0,), (0,)), ((), ())),
+            ha, dlogB, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        db_ref[...] += jnp.sum(dlog.reshape(bt * u1, v), axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(dlog, axis=0, keepdims=True)
 
     return kernel
 
@@ -221,6 +250,35 @@ def _pad_t(x, bt, value=0.0):
     return x
 
 
+def _cells(x, bt, value=0.0):
+    """[B, T, U1] per-cell stream -> padded collapsed [B, Tp*U1, 1] (the
+    kernels' 2D cell layout)."""
+    b, _, u1 = x.shape
+    xp = _pad_t(x, bt, value)
+    return xp.reshape(b, xp.shape[1] * u1, 1)
+
+
+def _tgt_cells(targets, tp: int, u1: int):
+    """[B,U] int targets -> [B, Tp*U1, 1] i32 label-id column in the kernels'
+    collapsed cell layout (row r = t*U1 + u selects targets[u]; the dummy
+    u = U1-1 cell selects 0, whose label_lp column the caller invalidates —
+    ops/rnnt_loss._prep contract). Built by XLA outside the kernel: Mosaic
+    cannot lower a broadcast-collapse reshape."""
+    b = targets.shape[0]
+    tgt = jnp.pad(targets.astype(jnp.int32), ((0, 0), (0, 1)))  # [B, U1]
+    tiled = jnp.broadcast_to(tgt[:, None, :], (b, tp, u1))
+    return tiled.reshape(b, tp * u1, 1)
+
+
+def _usel(bt: int, u1: int):
+    """[U1, bt*U1] f32 sum-over-t selection matrix (usel[u, t*U1 + u] = 1):
+    the backward's dp reduction as an MXU contraction. Built outside the
+    kernel (iota remainder tricks are Mosaic-risky; this is a tiny constant
+    the compiler keeps resident in VMEM)."""
+    r = jnp.arange(bt * u1)[None, :] % u1
+    return (r == jnp.arange(u1)[:, None]).astype(jnp.float32)
+
+
 def _pick_bt(t: int, bt: int) -> int:
     return max(1, min(bt, t))
 
@@ -228,22 +286,22 @@ def _pick_bt(t: int, bt: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("blank_id", "activation", "drop_t", "bt", "interpret"))
-def joint_flash_fwd(e, p, w, bias, onehot, seed, *, blank_id: int,
+def joint_flash_fwd(e, p, w, bias, targets, seed, *, blank_id: int,
                     activation: str = "relu", drop_t: int = 0, bt: int = 32,
                     interpret: bool = False):
-    """e [B,T,H], p [B,U1,H], w [H,V], bias [V], onehot [B,U1,V] (targets
-    one-hot in compute dtype), seed [1] i32 ->
-    (blank_lp, label_lp, lse) each [B,T,U1] f32.
+    """e [B,T,H], p [B,U1,H], w [H,V], bias [V], targets [B,U] int,
+    seed [1] i32 -> (blank_lp, label_lp, lse) each [B,T,U1] f32.
 
     label_lp's u = U1-1 column is the dummy select the caller invalidates
     (ops/rnnt_loss.py ``_prep`` contract).
     """
     b, t, h = e.shape
-    u1, v = onehot.shape[1], w.shape[1]
+    u1, v = p.shape[1], w.shape[1]
     bt = _pick_bt(t, bt)
     ep = _pad_t(e, bt)
     tp = ep.shape[1]
     inv_keep = 1.0 / (1.0 - drop_t / 256.0) if drop_t > 0 else 1.0
+    cell_spec = pl.BlockSpec((1, bt * u1, 1), lambda b, i, s: (b, i, 0))
     outs = pl.pallas_call(
         _make_fwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep,
                          e.dtype),
@@ -255,26 +313,23 @@ def joint_flash_fwd(e, p, w, bias, onehot, seed, *, blank_id: int,
                 pl.BlockSpec((1, u1, h), lambda b, i, s: (b, 0, 0)),
                 pl.BlockSpec((h, v), lambda b, i, s: (0, 0)),
                 pl.BlockSpec((1, v), lambda b, i, s: (0, 0)),
-                pl.BlockSpec((1, u1, v), lambda b, i, s: (b, 0, 0)),
+                cell_spec,
             ],
-            out_specs=[
-                pl.BlockSpec((1, bt, u1), lambda b, i, s: (b, i, 0)),
-                pl.BlockSpec((1, bt, u1), lambda b, i, s: (b, i, 0)),
-                pl.BlockSpec((1, bt, u1), lambda b, i, s: (b, i, 0)),
-            ],
+            out_specs=[cell_spec, cell_spec, cell_spec],
         ),
-        out_shape=[jax.ShapeDtypeStruct((b, tp, u1), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, tp * u1, 1), jnp.float32)] * 3,
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(seed.astype(jnp.int32), ep, p, w, bias[None, :], onehot)
-    return tuple(o[:, :t] for o in outs)
+    )(seed.astype(jnp.int32), ep, p, w, bias[None, :],
+      _tgt_cells(targets, tp, u1))
+    return tuple(o.reshape(b, tp, u1)[:, :t] for o in outs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("blank_id", "activation", "drop_t", "bt", "clamp",
                      "interpret"))
-def joint_flash_bwd(e, p, w, bias, onehot, lse, total, gb, gy, g, seed, *,
+def joint_flash_bwd(e, p, w, bias, targets, lse, total, gb, gy, g, seed, *,
                     blank_id: int, activation: str = "relu", drop_t: int = 0,
                     bt: int = 32, clamp: float = -1.0,
                     interpret: bool = False):
@@ -287,13 +342,13 @@ def joint_flash_bwd(e, p, w, bias, onehot, lse, total, gb, gy, g, seed, *,
     Returns (de [B,T,H] e.dtype, dp [B,U1,H] f32, dw [H,V] f32, db [V] f32).
     """
     b, t, h = e.shape
-    u1, v = onehot.shape[1], w.shape[1]
+    u1, v = p.shape[1], w.shape[1]
     bt = _pick_bt(t, bt)
     ep = _pad_t(e, bt)
     tp = ep.shape[1]
-    pads = lambda x: _pad_t(x, bt)
     inv_keep = 1.0 / (1.0 - drop_t / 256.0) if drop_t > 0 else 1.0
-    tu_spec = pl.BlockSpec((1, bt, u1), lambda b, i, s, g: (b, i, 0))
+    cell_spec = pl.BlockSpec((1, bt * u1, 1), lambda b, i, s, g: (b, i, 0))
+    icell_spec = pl.BlockSpec((1, bt * u1, 1), lambda b, i, s, g: (b, i, 0))
     de, dp, dw, db = pl.pallas_call(
         _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep,
                          e.dtype, clamp),
@@ -305,8 +360,9 @@ def joint_flash_bwd(e, p, w, bias, onehot, lse, total, gb, gy, g, seed, *,
                 pl.BlockSpec((1, u1, h), lambda b, i, s, g: (b, 0, 0)),
                 pl.BlockSpec((h, v), lambda b, i, s, g: (0, 0)),
                 pl.BlockSpec((1, v), lambda b, i, s, g: (0, 0)),
-                pl.BlockSpec((1, u1, v), lambda b, i, s, g: (b, 0, 0)),
-                tu_spec, tu_spec, tu_spec, tu_spec,
+                icell_spec,
+                pl.BlockSpec((u1, bt * u1), lambda b, i, s, g: (0, 0)),
+                cell_spec, cell_spec, cell_spec, cell_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, bt, h), lambda b, i, s, g: (b, i, 0)),
@@ -324,9 +380,10 @@ def joint_flash_bwd(e, p, w, bias, onehot, lse, total, gb, gy, g, seed, *,
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(seed.astype(jnp.int32), g.astype(jnp.float32),
-      ep, p, w, bias[None, :], onehot,
+      ep, p, w, bias[None, :], _tgt_cells(targets, tp, u1), _usel(bt, u1),
       # lse padded LARGE so the padded rows' exp(logits - lse) underflows to
       # 0 (finite) — their total/gb/gy are 0, but inf * 0 would be NaN and
       # the dp/dW accumulators sum over padded rows too.
-      _pad_t(lse, bt, 1e30), pads(total), pads(gb), pads(gy))
+      _cells(lse, bt, 1e30), _cells(total, bt), _cells(gb, bt),
+      _cells(gy, bt))
     return de[:, :t], dp, dw, db[0]

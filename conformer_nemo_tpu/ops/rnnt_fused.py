@@ -38,14 +38,6 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _targets_onehot(targets, u1: int, v: int, dtype):
-    """[B,U] int targets -> [B,U1,V] one-hot in the compute dtype (dummy last
-    row selects class 0; its label_lp column is invalidated downstream,
-    mirroring ops/rnnt_loss._prep)."""
-    tgt = jnp.pad(targets.astype(jnp.int32), ((0, 0), (0, 1)))
-    return (jnp.arange(v)[None, None, :] == tgt[:, :, None]).astype(dtype)
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def rnnt_loss_fused(e, p, w, bias, targets, t_lens, u_lens, seed,
                     blank_id, fastemit_lambda=0.0, clamp=-1.0,
@@ -65,11 +57,11 @@ def rnnt_loss_fused(e, p, w, bias, targets, t_lens, u_lens, seed,
 def _fused_fwd(e, p, w, bias, targets, t_lens, u_lens, seed,
                blank_id, fastemit_lambda, clamp, lattice_impl, activation,
                drop_t, bt):
-    u1, v = p.shape[1], w.shape[1]
-    onehot = _targets_onehot(targets, u1, v, e.dtype)
+    u1 = p.shape[1]
     blank_lp, label_lp, lse = joint_flash_fwd(
-        e, p, w, bias, onehot, seed, blank_id=blank_id, activation=activation,
-        drop_t=drop_t, bt=bt, interpret=_use_interpret())
+        e, p, w, bias, targets, seed, blank_id=blank_id,
+        activation=activation, drop_t=drop_t, bt=bt,
+        interpret=_use_interpret())
     # dummy-select column (no label to emit at u = U) — _prep contract
     u_row = jnp.arange(u1)[None, None, :]
     label_lp = jnp.where(u_row >= (u1 - 1), _NEG_INF, label_lp)
@@ -79,14 +71,14 @@ def _fused_fwd(e, p, w, bias, targets, t_lens, u_lens, seed,
     bi = jnp.arange(b)
     ll = alpha[bi, t_lens - 1, u_lens] + blank_lp[bi, t_lens - 1, u_lens]
     nll = -(1.0 + fastemit_lambda) * ll if fastemit_lambda > 0 else -ll
-    res = (e, p, w, bias, onehot, t_lens, u_lens, seed,
+    res = (e, p, w, bias, targets, t_lens, u_lens, seed,
            blank_lp, label_lp, lse, alpha)
     return nll, res
 
 
 def _fused_bwd(blank_id, fastemit_lambda, clamp, lattice_impl, activation,
                drop_t, bt, res, g):
-    (e, p, w, bias, onehot, t_lens, u_lens, seed,
+    (e, p, w, bias, targets, t_lens, u_lens, seed,
      blank_lp, label_lp, lse, alpha) = res
     beta = _compute_betas(blank_lp, label_lp, t_lens, u_lens, lattice_impl)
     b, t_max, u1 = blank_lp.shape
@@ -119,7 +111,7 @@ def _fused_bwd(blank_id, fastemit_lambda, clamp, lattice_impl, activation,
     )
     zero_out = lambda x: jnp.where(in_lattice, x, 0.0)
     de, dp, dw, db = joint_flash_bwd(
-        e, p, w, bias, onehot, lse, zero_out(total), zero_out(gb),
+        e, p, w, bias, targets, lse, zero_out(total), zero_out(gb),
         zero_out(gy), g, seed, blank_id=blank_id, activation=activation,
         drop_t=drop_t, bt=bt, clamp=float(clamp),
         interpret=_use_interpret())

@@ -33,7 +33,7 @@ from conformer_nemo_tpu.train.rnnt_trainer import (RNNTTrainConfig,
 SECONDS, SR, U = 15.0, 16000, 96
 
 
-def run(b, fused):
+def run(b, fused, joint_impl="dense", bt=32):
     enc = ConformerEncoderConfig(feat_in=80, n_layers=17, d_model=512,
                                  n_heads=8, conv_norm_type="batch_norm",
                                  dtype=jnp.bfloat16)
@@ -43,6 +43,7 @@ def run(b, fused):
                                   pred_rnn_layers=1),
         joint=RNNTJointConfig(joint_hidden=640, fused_batch_size=fused,
                               fuse_loss_wer=fused > 0),
+        joint_impl=joint_impl, joint_flash_bt=bt,
     )
     cfg = RNNTTrainConfig(model=mcfg)
     sched = make_lr_schedule(
@@ -67,15 +68,19 @@ def run(b, fused):
         state, metrics = step(state, batch)
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"B={b} fused={fused}: step {dt * 1e3:.2f} ms  "
+    print(f"B={b} fused={fused} joint={joint_impl}(bt={bt}): "
+          f"step {dt * 1e3:.2f} ms  "
           f"{b * SECONDS / dt:.1f} audio_s/s  (loss {loss0:.3f})", flush=True)
 
 
 def main():
     variants = sys.argv[1:] or ["8,4", "8,0", "16,8", "16,0"]
     for v in variants:
-        b, fused = (int(x) for x in v.split(","))
-        run(b, fused)
+        parts = v.split(",")
+        b, fused = int(parts[0]), int(parts[1])
+        joint_impl = parts[2] if len(parts) > 2 else "dense"
+        bt = int(parts[3]) if len(parts) > 3 else 32
+        run(b, fused, joint_impl, bt)
 
 
 if __name__ == "__main__":
