@@ -802,7 +802,9 @@ class ConformerTransducer(_BaseASRModel):
                 # flash joint+loss kernels on TPU by default, dense
                 # elsewhere; see models/rnnt.py RNNTModelConfig.
                 joint_impl=joint_cfg.get("joint_impl", "auto"),
-                joint_flash_bt=int(joint_cfg.get("joint_flash_bt", 32)),
+                joint_flash_bt=int(joint_cfg.get("joint_flash_bt", 16)),
+                joint_flash_hbm_threshold=float(
+                    joint_cfg.get("joint_flash_hbm_threshold", 5.0e9)),
             ),
             variational_noise_std=float(vn.get("std", 0.0)),
             variational_noise_start=int(vn.get("start_step", 0)),

@@ -80,12 +80,21 @@ class RNNTModelConfig:
     # training joint+loss implementation: "dense" materializes the
     # [B,T,U+1,V] logits (optionally sub-batched, the reference's fused
     # path); "flash" runs the fused Pallas joint+loss-prep kernels
-    # (ops/pallas/rnnt_joint_kernel.py — no HBM logits). "auto" -> flash on
-    # TPU, dense elsewhere (the flash kernels run everywhere via interpret
-    # mode; dense is simply faster on CPU).
+    # (ops/pallas/rnnt_joint_kernel.py — no HBM logits, O(B*T*U) residuals).
+    # "auto" dispatches on a memory estimate (round-5 measurements, one v5e
+    # chip, 17L/640/V=1025/15 s): dense wins while its transient joint
+    # tensors fit HBM comfortably (B=8 2220 vs 2186, B=16 2415 vs 2267
+    # audio-s/s) and LOSES once they pressure it (B=32: 2021 vs 2177; the
+    # whole-batch [B,T,U,V] family is ~7 GB there) — so auto picks flash
+    # when the dense estimate exceeds joint_flash_hbm_threshold, and always
+    # falls back to dense off-TPU (interpret-mode kernels are slower than
+    # XLA:CPU's fused dense path).
     joint_impl: str = "auto"
-    # t-tile of the flash joint grid (VMEM ~ bt*U1*V*4 per program)
-    joint_flash_bt: int = 32
+    # t-tile of the flash joint grid (VMEM ~ bt*U1*V*4 per program; bt=16
+    # measured faster than 32 at B=8, 64 exceeds the 100 MB scoped cap)
+    joint_flash_bt: int = 16
+    # bytes of estimated dense-joint transients above which auto -> flash
+    joint_flash_hbm_threshold: float = 5.0e9
 
     @property
     def resolved_lattice_impl(self) -> str:
@@ -95,13 +104,18 @@ class RNNTModelConfig:
             return "pallas" if jax.default_backend() == "tpu" else "scan"
         return self.lattice_impl
 
-    @property
-    def resolved_joint_impl(self) -> str:
+    def resolve_joint_impl(self, b: int, t: int, u1: int) -> str:
+        """Static (trace-time) dispatch for the training joint at the given
+        whole-batch shape."""
+        if self.joint_impl != "auto":
+            return self.joint_impl
         import jax
 
-        if self.joint_impl == "auto":
-            return "flash" if jax.default_backend() == "tpu" else "dense"
-        return self.joint_impl
+        if jax.default_backend() != "tpu":
+            return "dense"
+        # logits + dlogits + one fused prep/grad transient, compute dtype
+        dense_bytes = 3 * 2 * b * t * u1 * self.num_classes_with_blank
+        return "flash" if dense_bytes > self.joint_flash_hbm_threshold else "dense"
 
     @property
     def blank_id(self) -> int:
@@ -377,7 +391,7 @@ class RNNTModel(nn.Module):
         cfg = self.cfg
         fused_bs = cfg.joint.fused_batch_size
         b = enc.shape[0]
-        if cfg.resolved_joint_impl == "flash":
+        if cfg.resolve_joint_impl(b, enc.shape[1], g.shape[1]) == "flash":
             # Fused Pallas joint+loss-prep: logits never reach HBM, so the
             # fused_batch_size memory knob is moot on this path.
             e, p = self.joint.project(enc, g)  # [B,T,H], [B,U+1,H]

@@ -109,7 +109,9 @@ def _tile_keep(seed_ref, b, i, bt, u1, h, tp, drop_t):
 
 def _act(x, activation: str):
     if activation == "relu":
-        return jnp.maximum(x, 0)
+        # compare in f32: Mosaic has no bf16 cmpf ("Target does not support
+        # this comparison", found on-chip); max(x, 0) is exact either way
+        return jnp.where(x.astype(jnp.float32) > 0.0, x, 0)
     if activation == "sigmoid":
         return jax.nn.sigmoid(x)
     return jnp.tanh(x)
@@ -118,17 +120,24 @@ def _act(x, activation: str):
 def _act_grad(x, h, activation: str):
     """d act / d x from pre-activation x and activation output h."""
     if activation == "relu":
-        return (x > 0).astype(h.dtype)
+        return (x.astype(jnp.float32) > 0.0).astype(h.dtype)
     if activation == "sigmoid":
         return h * (1 - h)
     return 1 - h * h
 
 
-def _joint_tile(e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
-                activation, drop_t, inv_keep, dtype):
+def _joint_tile(e_ref, p_ref, wl_ref, wb_ref, bl_ref, bb_ref, seed_ref, bt,
+                tp, activation, drop_t, inv_keep, dtype):
     """Shared fwd compute for this program's tile, all 2D with the (t, u)
     axis collapsed: (xf [bt*U1,H] pre-act, h_dropped [bt*U1,H],
-    logits [bt*U1,V] f32, keep mask or None)."""
+    lab [bt*U1,V-1] f32 label logits, blank [bt*U1,1] f32, keep or None).
+
+    The vocabulary is split blank-last: the label block of the output
+    projection runs on the MXU at its exact width (V-1 = the BPE vocab is
+    lane-aligned at flagship sizes; V = vocab+1 would pad 1025 -> 1152 lanes,
+    +12.5% on every V-matmul), and the single blank column is a VPU
+    multiply-reduce.
+    """
     b = pl.program_id(0)
     i = pl.program_id(1)
     u1, h_dim = p_ref.shape[1], p_ref.shape[2]
@@ -143,31 +152,35 @@ def _joint_tile(e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
         ha = jnp.where(keep, ha * float(inv_keep), 0)
     # f32 MXU accumulation rounded to the compute dtype + bias: op-for-op the
     # unfused jnp.dot(bf16, bf16) + bias of RNNTJoint.combine_fn.
-    logits = jax.lax.dot_general(
-        ha, w_ref[...], (((1,), (0,)), ((), ())),
+    lab = jax.lax.dot_general(
+        ha, wl_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype)
-    logits = (logits + b_ref[...].astype(dtype)).astype(jnp.float32)
-    return xf, ha, logits, keep
+    lab = (lab + bl_ref[...].astype(dtype)).astype(jnp.float32)
+    blank = jnp.sum(ha.astype(jnp.float32) * wb_ref[...].astype(jnp.float32),
+                    axis=1, keepdims=True)
+    blank = (blank.astype(dtype) + bb_ref[...].astype(dtype)).astype(jnp.float32)
+    return xf, ha, lab, blank, keep
 
 
-def _make_fwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype):
-    def kernel(seed_ref, e_ref, p_ref, w_ref, b_ref, tgt_ref,
-               blank_ref, label_ref, lse_ref):
-        v = w_ref.shape[1]
+def _make_fwd_kernel(bt, tp, activation, drop_t, inv_keep, dtype):
+    def kernel(seed_ref, e_ref, p_ref, wl_ref, wb_ref, bl_ref, bb_ref,
+               tgt_ref, blank_ref, label_ref, lse_ref):
+        vl = wl_ref.shape[1]
         u1 = p_ref.shape[1]
-        _, _, logits, _ = _joint_tile(
-            e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
+        _, _, lab, blank, _ = _joint_tile(
+            e_ref, p_ref, wl_ref, wb_ref, bl_ref, bb_ref, seed_ref, bt, tp,
             activation, drop_t, inv_keep, dtype)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
-        blank = jax.lax.index_in_dim(logits, blank_id, axis=1, keepdims=True)
+        m = jnp.maximum(jnp.max(lab, axis=1, keepdims=True), blank)
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(lab - m), axis=1, keepdims=True)
+            + jnp.exp(blank - m))
         # label select: one-hot by iota-compare against this tile's target
         # column (pre-tiled [bt*U1, 1] i32) — no broadcast-collapse reshape,
         # which Mosaic cannot lower (found on-chip)
-        iota_v = jax.lax.broadcasted_iota(jnp.int32, (bt * u1, v), 1)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (bt * u1, vl), 1)
         sel = iota_v == tgt_ref[0]
-        label = jnp.sum(jnp.where(sel, logits, 0.0), axis=1, keepdims=True)
+        label = jnp.sum(jnp.where(sel, lab, 0.0), axis=1, keepdims=True)
         blank_ref[0] = blank - lse
         label_ref[0] = label - lse
         lse_ref[0] = lse
@@ -175,37 +188,43 @@ def _make_fwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype):
     return kernel
 
 
-def _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype,
-                     clamp):
-    def kernel(seed_ref, g_ref, e_ref, p_ref, w_ref, b_ref, tgt_ref,
-               usel_ref, lse_ref, total_ref, gb_ref, gy_ref,
-               de_ref, dp_ref, dw_ref, db_ref):
+def _make_bwd_kernel(bt, tp, activation, drop_t, inv_keep, dtype, clamp):
+    def kernel(seed_ref, g_ref, e_ref, p_ref, wl_ref, wb_ref, bl_ref, bb_ref,
+               tgt_ref, usel_ref, lse_ref, total_ref, gb_ref, gy_ref,
+               de_ref, dp_ref, dwl_ref, dwb_ref, dbl_ref, dbb_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
         u1, h_dim = p_ref.shape[1], p_ref.shape[2]
-        v = w_ref.shape[1]
-        xf, ha, logits, keep = _joint_tile(
-            e_ref, p_ref, w_ref, b_ref, seed_ref, bt, tp,
+        vl = wl_ref.shape[1]
+        xf, ha, lab, blank, keep = _joint_tile(
+            e_ref, p_ref, wl_ref, wb_ref, bl_ref, bb_ref, seed_ref, bt, tp,
             activation, drop_t, inv_keep, dtype)
-        probs = jnp.exp(logits - lse_ref[0])  # [bt*U1, V] f32
-        dlog = probs * total_ref[0]
-        iota_v = jax.lax.broadcasted_iota(jnp.int32, (bt * u1, v), 1)
-        dlog = dlog - jnp.where(iota_v == blank_id, gb_ref[0], 0.0)
-        dlog = dlog - jnp.where(iota_v == tgt_ref[0], gy_ref[0], 0.0)
+        lse = lse_ref[0]
+        dlab = jnp.exp(lab - lse) * total_ref[0]
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (bt * u1, vl), 1)
+        dlab = dlab - jnp.where(iota_v == tgt_ref[0], gy_ref[0], 0.0)
+        dblank = jnp.exp(blank - lse) * total_ref[0] - gb_ref[0]
         if clamp > 0:
-            dlog = jnp.clip(dlog, -clamp, clamp)
-        dlog = dlog * g_ref[b]
-        dlogB = dlog.astype(dtype)
+            dlab = jnp.clip(dlab, -clamp, clamp)
+            dblank = jnp.clip(dblank, -clamp, clamp)
+        dlab = dlab * g_ref[b]
+        dblank = dblank * g_ref[b]
+        dlabB = dlab.astype(dtype)
 
-        # dh (through dropout + activation) -> dx [bt*U1, H]
-        dh = jax.lax.dot_general(
-            dlogB, w_ref[...], (((1,), (1,)), ((), ())),
+        # dh (through dropout + activation) -> dx [bt*U1, H]: label block via
+        # MXU, blank column as a rank-1 update folded in before rounding
+        dh = (jax.lax.dot_general(
+            dlabB, wl_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        ) + dblank * wb_ref[...].astype(jnp.float32)).astype(dtype)
         if keep is not None:
             dh = jnp.where(keep, dh * float(inv_keep), 0)
         hact = ha if drop_t == 0 else _act(xf, activation)
-        dx = (dh * _act_grad(xf, hact, activation)).astype(jnp.float32)
+        # dx stays in the compute dtype: the selection contractions below
+        # then run at bf16 MXU rate with f32 accumulation (a f32 matmul here
+        # measured ~4x the cost for grads the dense path also reduces
+        # through bf16 values)
+        dx = dh * _act_grad(xf, hact, activation)
 
         # sum-over-u (de) and sum-over-t (dp) as one-hot selection matmuls:
         # rows of the tile are r = t*U1 + u, so t-membership is a range test
@@ -213,7 +232,7 @@ def _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype,
         # expand-reshape, no scatter).
         r_t = jax.lax.broadcasted_iota(jnp.int32, (bt, bt * u1), 1)
         t_of = jax.lax.broadcasted_iota(jnp.int32, (bt, bt * u1), 0)
-        tsel = ((r_t >= t_of * u1) & (r_t < (t_of + 1) * u1)).astype(jnp.float32)
+        tsel = ((r_t >= t_of * u1) & (r_t < (t_of + 1) * u1)).astype(dx.dtype)
         de_ref[0] = jax.lax.dot_general(
             tsel, dx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -224,20 +243,25 @@ def _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep, dtype,
             dp_ref[0] = jnp.zeros((u1, h_dim), jnp.float32)
 
         dp_ref[0] += jax.lax.dot_general(
-            usel_ref[...], dx, (((1,), (0,)), ((), ())),
+            usel_ref[...].astype(dx.dtype), dx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
         @pl.when((b == 0) & (i == 0))
         def _zero_dw():
-            dw_ref[...] = jnp.zeros((h_dim, v), jnp.float32)
-            db_ref[...] = jnp.zeros((1, v), jnp.float32)
+            dwl_ref[...] = jnp.zeros((h_dim, vl), jnp.float32)
+            dwb_ref[...] = jnp.zeros((1, h_dim), jnp.float32)
+            dbl_ref[...] = jnp.zeros((1, vl), jnp.float32)
+            dbb_ref[...] = jnp.zeros((1, 1), jnp.float32)
 
-        dw_ref[...] += jax.lax.dot_general(
-            ha, dlogB, (((0,), (0,)), ((), ())),
+        dwl_ref[...] += jax.lax.dot_general(
+            ha, dlabB, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        db_ref[...] += jnp.sum(dlog, axis=0, keepdims=True)
+        dwb_ref[...] += jnp.sum(ha.astype(jnp.float32) * dblank, axis=0,
+                                keepdims=True)
+        dbl_ref[...] += jnp.sum(dlab, axis=0, keepdims=True)
+        dbb_ref[...] += jnp.sum(dblank, axis=0, keepdims=True)
 
     return kernel
 
@@ -283,6 +307,19 @@ def _pick_bt(t: int, bt: int) -> int:
     return max(1, min(bt, t))
 
 
+def _split_blank(w, bias, blank_id: int):
+    """[H,V]/[V] output projection -> (w_lab [H,V-1], wb_row [1,H],
+    b_lab [1,V-1], b_b [1,1]). The fused kernels assume blank-last (the
+    framework's invariant: blank_id == vocab_size == V-1)."""
+    v = w.shape[1]
+    if blank_id != v - 1:
+        raise ValueError(
+            f"flash joint requires blank-last (blank_id={blank_id}, V={v}); "
+            "use joint_impl='dense' for other layouts")
+    return (w[:, : v - 1], w[:, v - 1:].T, bias[None, : v - 1],
+            bias[None, v - 1:])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("blank_id", "activation", "drop_t", "bt", "interpret"))
@@ -297,22 +334,25 @@ def joint_flash_fwd(e, p, w, bias, targets, seed, *, blank_id: int,
     """
     b, t, h = e.shape
     u1, v = p.shape[1], w.shape[1]
+    vl = v - 1
+    w_lab, wb_row, b_lab, b_b = _split_blank(w, bias, blank_id)
     bt = _pick_bt(t, bt)
     ep = _pad_t(e, bt)
     tp = ep.shape[1]
     inv_keep = 1.0 / (1.0 - drop_t / 256.0) if drop_t > 0 else 1.0
     cell_spec = pl.BlockSpec((1, bt * u1, 1), lambda b, i, s: (b, i, 0))
     outs = pl.pallas_call(
-        _make_fwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep,
-                         e.dtype),
+        _make_fwd_kernel(bt, tp, activation, drop_t, inv_keep, e.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, tp // bt),
             in_specs=[
                 pl.BlockSpec((1, bt, h), lambda b, i, s: (b, i, 0)),
                 pl.BlockSpec((1, u1, h), lambda b, i, s: (b, 0, 0)),
-                pl.BlockSpec((h, v), lambda b, i, s: (0, 0)),
-                pl.BlockSpec((1, v), lambda b, i, s: (0, 0)),
+                pl.BlockSpec((h, vl), lambda b, i, s: (0, 0)),
+                pl.BlockSpec((1, h), lambda b, i, s: (0, 0)),
+                pl.BlockSpec((1, vl), lambda b, i, s: (0, 0)),
+                pl.BlockSpec((1, 1), lambda b, i, s: (0, 0)),
                 cell_spec,
             ],
             out_specs=[cell_spec, cell_spec, cell_spec],
@@ -320,7 +360,7 @@ def joint_flash_fwd(e, p, w, bias, targets, seed, *, blank_id: int,
         out_shape=[jax.ShapeDtypeStruct((b, tp * u1, 1), jnp.float32)] * 3,
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(seed.astype(jnp.int32), ep, p, w, bias[None, :],
+    )(seed.astype(jnp.int32), ep, p, w_lab, wb_row, b_lab, b_b,
       _tgt_cells(targets, tp, u1))
     return tuple(o.reshape(b, tp, u1)[:, :t] for o in outs)
 
@@ -343,47 +383,57 @@ def joint_flash_bwd(e, p, w, bias, targets, lse, total, gb, gy, g, seed, *,
     """
     b, t, h = e.shape
     u1, v = p.shape[1], w.shape[1]
+    vl = v - 1
+    w_lab, wb_row, b_lab, b_b = _split_blank(w, bias, blank_id)
     bt = _pick_bt(t, bt)
     ep = _pad_t(e, bt)
     tp = ep.shape[1]
     inv_keep = 1.0 / (1.0 - drop_t / 256.0) if drop_t > 0 else 1.0
     cell_spec = pl.BlockSpec((1, bt * u1, 1), lambda b, i, s, g: (b, i, 0))
-    icell_spec = pl.BlockSpec((1, bt * u1, 1), lambda b, i, s, g: (b, i, 0))
-    de, dp, dw, db = pl.pallas_call(
-        _make_bwd_kernel(bt, tp, blank_id, activation, drop_t, inv_keep,
-                         e.dtype, clamp),
+    de, dp, dwl, dwb, dbl, dbb = pl.pallas_call(
+        _make_bwd_kernel(bt, tp, activation, drop_t, inv_keep, e.dtype,
+                         clamp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, tp // bt),
             in_specs=[
                 pl.BlockSpec((1, bt, h), lambda b, i, s, g: (b, i, 0)),
                 pl.BlockSpec((1, u1, h), lambda b, i, s, g: (b, 0, 0)),
-                pl.BlockSpec((h, v), lambda b, i, s, g: (0, 0)),
-                pl.BlockSpec((1, v), lambda b, i, s, g: (0, 0)),
-                icell_spec,
+                pl.BlockSpec((h, vl), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, h), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, vl), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, 1), lambda b, i, s, g: (0, 0)),
+                cell_spec,
                 pl.BlockSpec((u1, bt * u1), lambda b, i, s, g: (0, 0)),
                 cell_spec, cell_spec, cell_spec, cell_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, bt, h), lambda b, i, s, g: (b, i, 0)),
                 pl.BlockSpec((1, u1, h), lambda b, i, s, g: (b, 0, 0)),
-                pl.BlockSpec((h, v), lambda b, i, s, g: (0, 0)),
-                pl.BlockSpec((1, v), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((h, vl), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, h), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, vl), lambda b, i, s, g: (0, 0)),
+                pl.BlockSpec((1, 1), lambda b, i, s, g: (0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, tp, h), e.dtype),
             jax.ShapeDtypeStruct((b, u1, h), jnp.float32),
-            jax.ShapeDtypeStruct((h, v), jnp.float32),
-            jax.ShapeDtypeStruct((1, v), jnp.float32),
+            jax.ShapeDtypeStruct((h, vl), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, vl), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(seed.astype(jnp.int32), g.astype(jnp.float32),
-      ep, p, w, bias[None, :], _tgt_cells(targets, tp, u1), _usel(bt, u1),
+      ep, p, w_lab, wb_row, b_lab, b_b, _tgt_cells(targets, tp, u1),
+      _usel(bt, u1),
       # lse padded LARGE so the padded rows' exp(logits - lse) underflows to
       # 0 (finite) — their total/gb/gy are 0, but inf * 0 would be NaN and
       # the dp/dW accumulators sum over padded rows too.
       _cells(lse, bt, 1e30), _cells(total, bt), _cells(gb, bt),
       _cells(gy, bt))
-    return de[:, :t], dp, dw, db[0]
+    dw = jnp.concatenate([dwl, dwb.T], axis=1)
+    db = jnp.concatenate([dbl[0], dbb[0]])
+    return de[:, :t], dp, dw, db

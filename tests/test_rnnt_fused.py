@@ -249,3 +249,24 @@ def test_fused_odd_shapes():
         nf = rnnt_loss_fused(e, p, w, bias, tgt, t_lens, u_lens, seed, blank,
                              0.0, -1.0, "scan", "relu", 0, bt)
         np.testing.assert_allclose(nd, nf, rtol=1e-5)
+
+
+def test_auto_joint_impl_dispatch(monkeypatch):
+    """auto resolves by backend + a dense-transient memory estimate: dense on
+    CPU always; on TPU dense below joint_flash_hbm_threshold, flash above
+    (the measured B=16/B=32 crossover on one v5e)."""
+    import dataclasses
+
+    from conformer_nemo_tpu.models import rnnt as rnnt_mod
+    from conformer_nemo_tpu.models.rnnt import (RNNTDecoderConfig,
+                                                RNNTModelConfig)
+
+    cfg = RNNTModelConfig(decoder=RNNTDecoderConfig(vocab_size=1024))
+    assert cfg.resolve_joint_impl(32, 376, 97) == "dense"  # cpu backend
+    assert dataclasses.replace(cfg, joint_impl="flash").resolve_joint_impl(
+        1, 8, 2) == "flash"
+    monkeypatch.setattr(rnnt_mod.jax, "default_backend", lambda: "tpu")
+    assert cfg.resolve_joint_impl(16, 376, 97) == "dense"  # 3.6 GB < 5 GB
+    assert cfg.resolve_joint_impl(32, 376, 97) == "flash"  # 7.2 GB > 5 GB
+    # long-form: modest batch, long T crosses the threshold too
+    assert cfg.resolve_joint_impl(4, 3072, 301) == "flash"
