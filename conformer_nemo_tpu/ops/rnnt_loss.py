@@ -82,6 +82,21 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# The Pallas lattice kernels hold one batch tile's WHOLE skewed lattice
+# ([bt, W, T], W = T+U1) in VMEM — 3 arrays x 2 buffering levels even at
+# bt=1 must fit the 100 MB scoped cap. Beyond this cell budget (~4M cells
+# ~= 16 MB/array; T=376 flagship is 0.18M) the column sweep falls back to
+# the lax.scan implementation, which streams columns through HBM and has no
+# size ceiling (long-form transducer training hits this at T ~ 3000).
+_PALLAS_LATTICE_MAX_CELLS = 4_000_000
+
+
+def _lattice_impl_for(t_max: int, u1: int, impl: str) -> str:
+    if impl == "pallas" and (t_max + u1) * t_max > _PALLAS_LATTICE_MAX_CELLS:
+        return "scan"
+    return impl
+
+
 def _compute_alphas(blank_lp, label_lp, t_lens, u_lens, impl: str = "scan"):
     """alpha lattice [B, T, U+1] via a column sweep over the skewed layout.
 
@@ -99,6 +114,7 @@ def _compute_alphas(blank_lp, label_lp, t_lens, u_lens, impl: str = "scan"):
     """
     b, t_max, u1 = blank_lp.shape
     w = t_max + u1
+    impl = _lattice_impl_for(t_max, u1, impl)
     valid_tu = _valid_tu(blank_lp, t_lens, u_lens)
 
     bl = _skew(jnp.where(valid_tu, blank_lp, _NEG_INF))  # [B, T, W]
@@ -144,6 +160,7 @@ def _compute_betas(blank_lp, label_lp, t_lens, u_lens, impl: str = "scan"):
     """
     b, t_max, u1 = blank_lp.shape
     w = t_max + u1
+    impl = _lattice_impl_for(t_max, u1, impl)
     t_idx = jnp.arange(t_max)
 
     valid_tu = _valid_tu(blank_lp, t_lens, u_lens)
