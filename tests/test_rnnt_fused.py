@@ -270,3 +270,29 @@ def test_auto_joint_impl_dispatch(monkeypatch):
     assert cfg.resolve_joint_impl(32, 376, 97) == "flash"  # 7.2 GB > 5 GB
     # long-form: modest batch, long T crosses the threshold too
     assert cfg.resolve_joint_impl(4, 3072, 301) == "flash"
+
+
+def test_pallas_lattice_size_fallback():
+    """impl='pallas' silently falls back to the scan column sweep when the
+    whole skewed lattice cannot fit VMEM (long-form shapes) — and the
+    dispatch helper is the single source of that decision."""
+    from conformer_nemo_tpu.ops.rnnt_loss import (_PALLAS_LATTICE_MAX_CELLS,
+                                                  _lattice_impl_for,
+                                                  rnnt_loss_from_logits)
+
+    assert _lattice_impl_for(376, 97, "pallas") == "pallas"  # flagship
+    assert _lattice_impl_for(3001, 385, "pallas") == "scan"  # 120 s longform
+    assert _lattice_impl_for(3001, 385, "scan") == "scan"
+    t_edge = int(_PALLAS_LATTICE_MAX_CELLS ** 0.5)
+    assert _lattice_impl_for(t_edge + 200, 1, "pallas") == "scan"
+
+    # a shape routed to the fallback still computes the right loss
+    rng = np.random.RandomState(0)
+    b, t, u, v = 1, 2100, 3, 8  # (t+u1)*t > 4M -> scan
+    logits = jnp.asarray(rng.randn(b, t, u + 1, v), jnp.float32)
+    tgt = jnp.asarray(rng.randint(1, v, (b, u)), jnp.int32)
+    tl = jnp.asarray([t], jnp.int32)
+    ul = jnp.asarray([u], jnp.int32)
+    n_pal = rnnt_loss_from_logits(logits, tgt, tl, ul, 0, impl="pallas")
+    n_scan = rnnt_loss_from_logits(logits, tgt, tl, ul, 0, impl="scan")
+    np.testing.assert_allclose(np.asarray(n_pal), np.asarray(n_scan))
