@@ -243,9 +243,9 @@ def bench_e2e_train(jax, state, step, transports=("pcm16", "mulaw8"),
             waits = []
             for _ in range(ITERS):
                 tb = time.perf_counter()
-                batch = next(batches)
+                dev_batch = next(batches)  # NOT `batch`: that's the int size
                 waits.append(time.perf_counter() - tb)
-                state, metrics = step(state, batch)
+                state, metrics = step(state, dev_batch)
             _sync(metrics)
             dt = time.perf_counter() - t0
             print(f"[e2e {transport}] step avg {dt / ITERS * 1e3:.1f} ms; "
