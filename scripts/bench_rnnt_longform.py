@@ -37,13 +37,14 @@ from conformer_nemo_tpu.train.rnnt_trainer import (RNNTTrainConfig,
 SR = 16000
 
 
-def run(b, secs, u, bt):
+def run(b, secs, u, bt, band_l=-1, band_r=-1):
     # long-form encoder policy (configs/conformer_ctc_bpe_longform.yaml):
     # dropout_att=0 keeps the flash-attention kernel engaged in training;
     # remat bounds per-layer residuals at these T
     enc = ConformerEncoderConfig(feat_in=80, n_layers=17, d_model=512,
                                  n_heads=8, conv_norm_type="batch_norm",
                                  dropout_att=0.0, remat=True,
+                                 att_context_size=(band_l, band_r),
                                  dtype=jnp.bfloat16)
     mcfg = RNNTModelConfig(
         encoder=enc,
@@ -79,7 +80,8 @@ def run(b, secs, u, bt):
     dt = (time.perf_counter() - t0) / iters
     mem = jax.local_devices()[0].memory_stats() or {}
     peak = mem.get("peak_bytes_in_use", 0) / 2 ** 30
-    print(f"B={b} {secs:.0f}s U={u} bt={bt}: step {dt * 1e3:.1f} ms  "
+    band = f" band=({band_l},{band_r})" if band_l >= 0 or band_r >= 0 else ""
+    print(f"B={b} {secs:.0f}s U={u} bt={bt}{band}: step {dt * 1e3:.1f} ms  "
           f"{b * secs / dt:.1f} audio_s/s  peak {peak:.1f} GiB  "
           f"(dense joint transients would be ~{dense_gb:.0f} GB)  "
           f"loss {loss0:.1f}", flush=True)
@@ -88,8 +90,8 @@ def run(b, secs, u, bt):
 def main():
     variants = sys.argv[1:] or ["2,120,384,8", "4,120,384,8"]
     for v in variants:
-        b, secs, u, bt = (int(x) for x in v.split(","))
-        run(b, secs, u, bt)
+        parts = [int(x) for x in v.split(",")]
+        run(*parts)
 
 
 if __name__ == "__main__":
