@@ -99,12 +99,13 @@ class BeamSearchDecoderWithLM:
         instead of a full text parse at serving startup.
 
         kenlm_bin: opt-in direct reader for KenLM `.bin` files of the
-        PROBING (build_binary default), TRIE and QUANT_TRIE data structures
-        (native/ctc_beam/kenlm_probing.h / kenlm_trie.h). Off by default:
-        the readers' structural validation is thorough but full per-word
-        score parity against the real library is only provable where the
-        kenlm wheel exists (tests/test_kenlm_differential.py runs it there).
-        rest_probing and array-trie binaries are always rejected with
+        PROBING (build_binary default) and full TRIE family — trie,
+        quant_trie, array_trie, quant_array_trie (`build_binary -a`) — data
+        structures (native/ctc_beam/kenlm_probing.h / kenlm_trie.h). Off by
+        default: the readers' structural validation is thorough but full
+        per-word score parity against the real library is only provable
+        where the kenlm wheel exists (tests/test_kenlm_differential.py runs
+        it there). rest_probing binaries are always rejected with
         conversion guidance. `kenlm_probing` is the original (pre-trie)
         spelling of the same opt-in."""
         self.vocab = list(vocab)
@@ -123,7 +124,8 @@ class BeamSearchDecoderWithLM:
             if is_kenlm_binary(lm_path):
                 hdr = parse_header(lm_path)
                 readable = hdr is not None and hdr.model_type in (
-                    "probing", "trie", "quant_trie")
+                    "probing", "trie", "quant_trie", "array_trie",
+                    "quant_array_trie")
                 if readable and kenlm_bin:
                     err = ctypes.create_string_buffer(512)
                     handle = self._lib.ctc_lm_load_kenlm_bin(
@@ -142,8 +144,8 @@ class BeamSearchDecoderWithLM:
                     "enforced by tests/test_kenlm_differential.py wherever "
                     "the kenlm wheel exists). Alternatively, "
                     if readable else
-                    "The direct reader (kenlm_bin=True) covers probing, trie "
-                    "and quant_trie structures but not this one. ")
+                    "The direct reader (kenlm_bin=True) covers probing and "
+                    "the full trie family but not this one. ")
                 raise ValueError(
                     f"{lm_path} is a {hdr.describe() if hdr else 'KenLM binary'}. "
                     "This framework's scorer consumes ARPA text (plus its own "

@@ -11,12 +11,13 @@ to ARPA with kenlm") instead of a generic parse failure.
 
 This module stays header-only by design; the PROBING payload is readable
 through the opt-in mmap scorer in `native/ctc_beam/kenlm_probing.h` and the
-TRIE / QUANT_TRIE payloads through `native/ctc_beam/kenlm_trie.h`
+full TRIE family (trie / quant_trie / array_trie / quant_array_trie)
+through `native/ctc_beam/kenlm_trie.h`
 (`BeamSearchDecoderWithLM(..., kenlm_bin=True)`; `kenlm_probing=True` is the
 original spelling), which this parser gates: only files it identifies as
-model_type probing/trie/quant_trie are offered that path; rest_probing and
-the array-trie variants keep the actionable rejection (a mis-parsed table
-that "loads" would be strictly worse than a precise error).
+one of those model_types are offered that path; rest_probing keeps the
+actionable rejection (a mis-parsed table that "loads" would be strictly
+worse than a precise error).
 `tests/test_kenlm_differential.py` carries `importorskip("kenlm")`-gated
 differential tests that validate the ARPA scorer, this header parser, and
 the payload readers against the real library in any environment that has

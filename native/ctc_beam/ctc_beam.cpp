@@ -10,8 +10,8 @@
 // 2014 prefix beam search; Katz-backoff ARPA scoring) — no code is taken from
 // ctc_decoders/KenLM. LM backends: ARPA text (+ our .binlm cache) and, via
 // explicit opt-in, KenLM binaries of the probing (kenlm_probing.h) and
-// trie/quant_trie (kenlm_trie.h) families; rest_probing and array tries
-// keep the actionable rejection.
+// full trie (kenlm_trie.h: trie/quant_trie/array_trie/quant_array_trie)
+// families; rest_probing keeps the actionable rejection.
 //
 // Exposed via a C ABI for ctypes (no pybind11 in this image).
 
@@ -487,10 +487,10 @@ void* ctc_lm_load(const char* arpa_path) {
 }
 
 // KenLM binary backend (explicit opt-in from Python). Dispatches on the
-// file's own model_type: 0 (probing) -> kenlm_probing.h, 2/3
-// (trie/quant_trie) -> kenlm_trie.h; rest_probing and the array-trie
-// variants get an error that names exactly which types decode. On failure
-// returns null and writes a precise reason into err_buf.
+// file's own model_type: 0 (probing) -> kenlm_probing.h, 2-5 (the trie
+// family incl. Bhiksha array variants) -> kenlm_trie.h; rest_probing gets
+// an error that names exactly which types decode. On failure returns null
+// and writes a precise reason into err_buf.
 void* ctc_lm_load_kenlm_bin(const char* path, char* err_buf, int err_cap) {
   std::string err;
   LmBase* out = nullptr;
@@ -506,14 +506,15 @@ void* ctc_lm_load_kenlm_bin(const char* path, char* err_buf, int err_cap) {
     } else if (h.model_type == 0) {
       auto* lm = new KenlmProbingLM();
       if (lm->Load(path, &err)) out = lm; else delete lm;
-    } else if (h.model_type == 2 || h.model_type == 3) {
+    } else if (h.model_type >= 2 && h.model_type <= 5) {
       auto* lm = new KenlmTrieLM();
       if (lm->Load(path, &err)) out = lm; else delete lm;
     } else {
       err = "KenLM model_type " + std::to_string(h.model_type) +
-            " is not supported by the direct reader (probing, trie and "
-            "quant_trie decode; rest_probing and array_trie/quant_array_trie "
-            "do not — dump those back to ARPA with kenlm)";
+            " is not supported by the direct reader (probing and the full "
+            "trie family — trie/quant_trie/array_trie/quant_array_trie — "
+            "decode; rest_probing does not — dump it back to ARPA with "
+            "kenlm)";
     }
   }
   if (!out && err_buf && err_cap > 0) {

@@ -10,6 +10,27 @@
 // pointers) and rest_probing (1) keep the actionable rejection in
 // decode/kenlm_binary.py, which names exactly which types decode.
 //
+// Round-5 extension: model_type 4 (array_trie) and 5 (quant_array_trie) —
+// `build_binary -a <bits> trie` — now decode too. Bhiksha compression
+// (lm/bhiksha.hh/cc semantics) replaces each middle level's full-width next
+// pointers with: an 8-byte section header {u8 version (0); u8 configured
+// bits; 6 pad}, a u64 offset-bucket array, and only the LOW `inline_bits`
+// of each next pointer stored in the bit-packed entry. The bucket array A
+// satisfies A[h] = the first next-slot index whose pointer's high part
+// (value >> inline_bits) reaches h (A[0] = 0; the end-sentinel slot writes
+// its buckets with index = entry count); reading slot i recovers
+// high = max{h : A[h] <= i}. inline_bits = RequiredBits(max_next) -
+// ChopBits(max_offset, max_next, configured_bits), where ChopBits is
+// kenlm's size-minimizing argmin over chop of
+// (max_next >> (required-chop))*64 - max_offset*chop with max_offset =
+// entries+1, and the bucket count is (max_next >> (required-chopped)) + 1.
+// These formulas are load-bearing for the layout; they are cross-checked
+// here by the same file-size equation + per-level structural validation
+// (version byte, A[0]==0, monotone buckets bounded by the entry count,
+// reconstructed end sentinel) and ground-truthed against real
+// `build_binary -a` outputs in tests/test_kenlm_differential.py wherever
+// the kenlm wheel exists.
+//
 // Format (public KenLM binary layout, version 5; lm/trie, lm/vocab,
 // lm/quantize semantics):
 //   [header]   shared with kenlm_probing.h (ParseHeader).
@@ -88,6 +109,38 @@ inline uint8_t RequiredBits(uint64_t max_value) {
   return ret;
 }
 
+// lm/bhiksha.cc ChopBits: the number of HIGH next-pointer bits moved into
+// the bucket array, chosen to minimize total size — argmin over
+// chop <= min(RequiredBits(max_next), configured) of
+//   bucket cost (max_next >> (required-chop)) * 64 bits
+//   minus inline savings max_offset * chop bits
+// (strict < keeps the smallest chop on ties). max_offset = entries + 1
+// (the sentinel slot also stores a pointer).
+inline uint8_t ChopBits(uint64_t max_offset, uint64_t max_next,
+                        uint8_t configured_bits) {
+  uint8_t required = RequiredBits(max_next);
+  uint8_t limit = required < configured_bits ? required : configured_bits;
+  uint8_t best_chop = 0;
+  int64_t lowest_change = INT64_MAX;
+  for (uint8_t chop = 0; chop <= limit; ++chop) {
+    int64_t change = (int64_t)((max_next >> (required - chop)) * 64) -
+                     (int64_t)(max_offset * (uint64_t)chop);
+    if (change < lowest_change) {
+      lowest_change = change;
+      best_chop = chop;
+    }
+  }
+  return best_chop;
+}
+
+// lm/bhiksha.cc ArrayCount: bucket-array length for the chosen chop.
+inline uint64_t BhikshaArrayCount(uint64_t max_offset, uint64_t max_next,
+                                  uint8_t configured_bits) {
+  uint8_t required = RequiredBits(max_next);
+  uint8_t chopped = ChopBits(max_offset, max_next, configured_bits);
+  return (max_next >> (required - chopped)) + 1;
+}
+
 // Little-endian bit-packed reads (util/bit_packing.hh ReadInt57 semantics:
 // load the u64 at byte bit_off/8, shift by bit_off%7, mask). Every array is
 // allocated with 8 trailing slack bytes so the 8-byte load cannot run off
@@ -149,12 +202,14 @@ class Model {
 
     HeaderInfo h;
     if (!ParseHeader(data, map_size_, &h, err)) return false;
-    if (h.model_type != 2 && h.model_type != 3) {
+    if (h.model_type != 2 && h.model_type != 3 && h.model_type != 4 &&
+        h.model_type != 5) {
       *err = "KenLM model_type " + std::to_string(h.model_type) +
-             " is not trie/quant_trie";
+             " is not in the trie family";
       return false;
     }
-    quantized_ = (h.model_type == 3);
+    quantized_ = (h.model_type == 3 || h.model_type == 5);
+    bhiksha_ = (h.model_type >= 4);
     order_ = h.order;
     counts_ = h.counts;
     if (order_ < 2) {
@@ -201,15 +256,34 @@ class Model {
         uint8_t wb = RequiredBits(c0 + bits_plus);
         uint64_t off = search_base + quant_size + (c0 + 2) * 16;
         std::vector<uint64_t> mid_offsets, mid_bits;
+        std::vector<uint64_t> bh_offs, bh_counts;
+        std::vector<uint8_t> next_bits;
+        bool candidate_ok = true;
         for (int o = 2; o <= order_ - 1; ++o) {
           uint64_t entries = counts_[o - 1];
           uint8_t qb = quantized_ ? (uint8_t)(pb + bb) : 63;
-          uint8_t nb = RequiredBits(counts_[o] + bits_plus);
+          uint64_t max_next = counts_[o] + bits_plus;
+          uint8_t nb = RequiredBits(max_next);
+          if (bhiksha_) {
+            // per-level Bhiksha section: 8-byte header + u64 bucket array
+            if (off + 8 > map_size_ || data[off] != 0 /* version */) {
+              candidate_ok = false;
+              break;
+            }
+            uint8_t cfg = data[off + 1];
+            uint64_t count = BhikshaArrayCount(entries + 1, max_next, cfg);
+            bh_offs.push_back(off + 8);
+            bh_counts.push_back(count);
+            nb = (uint8_t)(nb - ChopBits(entries + 1, max_next, cfg));
+            off += 8 + 8 * count;
+          }
           uint64_t tb = (uint64_t)wb + qb + nb;
           mid_offsets.push_back(off);
           mid_bits.push_back(tb);
+          next_bits.push_back(nb);
           off += ((1 + entries) * tb + 7) / 8 + 8;
         }
+        if (!candidate_ok) continue;
         uint8_t lqb = quantized_ ? pb : 31;
         uint64_t ltb = (uint64_t)wb + lqb;
         uint64_t longest_off = off;
@@ -230,6 +304,8 @@ class Model {
                                     ltb};
           sig.insert(sig.end(), mid_bits.begin(), mid_bits.end());
           sig.insert(sig.end(), mid_offsets.begin(), mid_offsets.end());
+          sig.insert(sig.end(), bh_offs.begin(), bh_offs.end());
+          sig.insert(sig.end(), bh_counts.begin(), bh_counts.end());
           bool dup = false;
           for (const auto& s : match_sigs) dup = dup || s == sig;
           if (dup) continue;
@@ -242,6 +318,9 @@ class Model {
           word_bits_ = wb;
           mid_offsets_ = mid_offsets;
           mid_total_bits_ = mid_bits;
+          mid_next_bits_ = next_bits;
+          bhiksha_offs_ = bh_offs;
+          bhiksha_counts_ = bh_counts;
           longest_off_ = longest_off;
           longest_total_bits_ = ltb;
           words_offset_ = h.has_vocab ? off : 0;
@@ -292,15 +371,31 @@ class Model {
       }
       prev = nx;
     }
-    // Middle end sentinels: each level's final next field must not exceed
-    // the following level's count.
+    // Bhiksha bucket arrays: A[0] == 0, nondecreasing, values bounded by
+    // the slot count (regular slots write their own index; the sentinel
+    // writes the entry count).
+    for (int o = 2; bhiksha_ && o <= order_ - 1; ++o) {
+      const uint64_t* a = reinterpret_cast<const uint64_t*>(
+          data + bhiksha_offs_[o - 2]);
+      uint64_t count = bhiksha_counts_[o - 2];
+      bool ok = (a[0] == 0);
+      for (uint64_t i = 1; ok && i < count; ++i) {
+        ok = (a[i] >= a[i - 1] && a[i] <= counts_[o - 1]);
+      }
+      if (!ok) {
+        *err = "KenLM array-trie binary: order-" + std::to_string(o) +
+               " Bhiksha bucket array violates its invariants (corrupt file "
+               "or wrong layout)";
+        return false;
+      }
+    }
+    // Middle end sentinels: each level's final (reconstructed) next pointer
+    // must not exceed the following level's count.
     for (int o = 2; o <= order_ - 1; ++o) {
       uint64_t entries = counts_[o - 1];
       uint64_t tb = mid_total_bits_[o - 2];
       uint8_t qb = quantized_ ? (uint8_t)(prob_bits_ + backoff_bits_) : 63;
-      uint8_t nb = (uint8_t)(tb - word_bits_ - qb);
-      uint64_t sentinel = ReadBits(data + mid_offsets_[o - 2],
-                                   entries * tb + word_bits_ + qb, nb);
+      uint64_t sentinel = NextValue(o - 2, tb, qb, entries);
       if (sentinel > counts_[o]) {
         *err = "KenLM trie binary: order-" + std::to_string(o) +
                " end sentinel exceeds the next level's count";
@@ -487,10 +582,38 @@ class Model {
       *backoff = ReadF32Bits(base, off + 31);
       qb = 63;
     }
-    uint8_t nb = (uint8_t)(tb - word_bits_ - qb);
-    next->begin = ReadBits(base, off + qb, nb);
-    next->end = ReadBits(base, off + qb + tb, nb);
+    next->begin = NextValue(level - 2, tb, qb, i);
+    next->end = NextValue(level - 2, tb, qb, i + 1);
     return true;
+  }
+
+  // Bucket-array high bits for next-slot `key` at middle level index `li`:
+  // largest h with A[h] <= key (A[0] == 0, so one always exists). See the
+  // header comment for why this recovers value(key) >> inline_bits.
+  uint64_t BucketHigh(size_t li, uint64_t key) const {
+    const uint64_t* a = reinterpret_cast<const uint64_t*>(
+        static_cast<const uint8_t*>(map_) + bhiksha_offs_[li]);
+    uint64_t lo = 0, hi = bhiksha_counts_[li];
+    while (lo + 1 < hi) {
+      uint64_t mid = (lo + hi) / 2;
+      if (a[mid] <= key) {
+        lo = mid;
+      } else {
+        hi = mid;
+      }
+    }
+    return lo;
+  }
+
+  // Full next pointer stored at slot i of middle level index `li` (slots =
+  // the level's entries plus the end sentinel at i == entries).
+  uint64_t NextValue(size_t li, uint64_t tb, uint8_t qb, uint64_t i) const {
+    const uint8_t* base =
+        static_cast<const uint8_t*>(map_) + mid_offsets_[li];
+    uint8_t nb = mid_next_bits_[li];
+    uint64_t v = ReadBits(base, i * tb + word_bits_ + qb, nb);
+    if (bhiksha_) v |= BucketHigh(li, i) << nb;
+    return v;
   }
 
   bool LongestFind(const NodeRange& range, uint32_t word, float* prob) const {
@@ -511,6 +634,7 @@ class Model {
   size_t map_size_ = 0;
   int order_ = 0;
   bool quantized_ = false;
+  bool bhiksha_ = false;
   std::vector<uint64_t> counts_;
   const uint64_t* vocab_hashes_ = nullptr;
   uint64_t vocab_stored_ = 0;
@@ -518,6 +642,8 @@ class Model {
   uint8_t prob_bits_ = 0, backoff_bits_ = 0, word_bits_ = 0;
   const uint8_t* unigram_ = nullptr;
   std::vector<uint64_t> mid_offsets_, mid_total_bits_;
+  std::vector<uint8_t> mid_next_bits_;
+  std::vector<uint64_t> bhiksha_offs_, bhiksha_counts_;
   std::vector<const float*> mid_prob_table_, mid_backoff_table_;
   const float* longest_prob_table_ = nullptr;
   uint64_t longest_off_ = 0, longest_total_bits_ = 0;

@@ -94,20 +94,24 @@ def test_probing_binary_reader_matches_real_kenlm(tmp_path, theirs):
             km[-1][0], abs=1e-4), sent
 
 
-@pytest.mark.parametrize("flavor", ["trie", "trie_q8"])
+@pytest.mark.parametrize(
+    "flavor", ["trie", "trie_q8", "array", "array_q8", "array_a2"])
 def test_trie_binary_reader_matches_real_kenlm(tmp_path, theirs, flavor):
     """THE ground-truth case for the trie payload reader
-    (native/ctc_beam/kenlm_trie.h): load a real `build_binary trie` (and
-    `-q 8` quant_trie) output directly and match kenlm's own per-word log10
-    scores. Where this test can run, the reader is fully validated;
-    elsewhere it stays opt-in (kenlm_bin=True) with structural validation
-    plus the layout-exact fixture tests in test_kenlm_trie.py."""
+    (native/ctc_beam/kenlm_trie.h): load a real `build_binary trie` output
+    — plain, `-q 8` quant_trie, and `-a` Bhiksha array variants — directly
+    and match kenlm's own per-word log10 scores. Where this test can run,
+    the reader is fully validated; elsewhere it stays opt-in
+    (kenlm_bin=True) with structural validation plus the layout-exact
+    fixture tests in test_kenlm_trie.py."""
     bb = shutil.which("build_binary")
     if bb is None:
         pytest.skip("kenlm build_binary not on PATH")
     out = str(tmp_path / f"lm_{flavor}.bin")
-    args = [bb] + (["-q", "8", "-b", "8"] if flavor == "trie_q8" else []) + \
-        ["trie", ARPA, out]
+    extra = {"trie": [], "trie_q8": ["-q", "8", "-b", "8"],
+             "array": ["-a", "22"], "array_q8": ["-a", "22", "-q", "8", "-b", "8"],
+             "array_a2": ["-a", "2"]}[flavor]
+    args = [bb] + extra + ["trie", ARPA, out]
     subprocess.run(args, check=True, capture_output=True)
     # quantized tries lose precision by design; bound the tolerance at the
     # bin width kenlm itself reports back through its own scorer

@@ -90,14 +90,33 @@ def _katz_score(grams_by_words, order, ctx_words, w):
     raise AssertionError(f"unigram {w!r} missing")
 
 
+def chop_bits(max_offset: int, max_next: int, configured: int) -> int:
+    """lm/bhiksha.cc ChopBits: size-minimizing count of high next-pointer
+    bits moved into the bucket array (strict < keeps the smallest chop)."""
+    required = required_bits(max_next)
+    best_chop, lowest = 0, None
+    for chop in range(min(required, configured) + 1):
+        change = (max_next >> (required - chop)) * 64 - max_offset * chop
+        if lowest is None or change < lowest:
+            lowest, best_chop = change, chop
+    return best_chop
+
+
 def write_trie_binary(arpa_path: str, out_path: str, quantized: bool = False,
                       include_words: bool = True,
-                      prob_bits: int = 8, backoff_bits: int = 8) -> dict:
+                      prob_bits: int = 8, backoff_bits: int = 8,
+                      bhiksha_bits: int = None) -> dict:
     """Emit `arpa_path` in the KenLM trie (model_type 2) or quant_trie (3)
-    binary layout documented in native/ctc_beam/kenlm_trie.h. Quantization
-    tables hold the exact distinct values (lossless while they fit), so
-    scores through either model_type equal the ARPA's to f32 rounding.
-    Returns the word->id map for assertions."""
+    binary layout documented in native/ctc_beam/kenlm_trie.h — or, with
+    `bhiksha_bits` set (`build_binary -a` analogue), the array_trie (4) /
+    quant_array_trie (5) layout: per middle level an 8-byte section header
+    {version 0; configured bits} plus the u64 bucket array written with
+    WriteNext semantics (bucket h = first next-slot index whose pointer's
+    high part reaches h; the end sentinel writes its buckets with the entry
+    count), and only the low inline bits of each pointer in the bit-packed
+    entries. Quantization tables hold the exact distinct values (lossless
+    while they fit), so scores through any model_type equal the ARPA's to
+    f32 rounding. Returns the word->id map for assertions."""
     order, grams = parse_arpa(arpa_path)
     assert order >= 2, "kenlm requires at least a bigram model"
     unigrams = grams[1]
@@ -160,7 +179,9 @@ def write_trie_binary(arpa_path: str, out_path: str, quantized: bool = False,
     magic = b"mmap lm http://kheafield.com/code format version 5\n\0"
     magic += b"\0" * (-len(magic) % 8)
     sanity = struct.pack("<fffIIQ", 0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1)
-    params = struct.pack("<B3xfIB3xI", order, 1.5, 3 if quantized else 2,
+    model_type = (3 if quantized else 2) + (2 if bhiksha_bits is not None
+                                            else 0)
+    params = struct.pack("<B3xfIB3xI", order, 1.5, model_type,
                          1 if include_words else 0, 0)
     counts_blob = b"".join(struct.pack("<Q", c) for c in counts)
     header = magic + sanity + params + counts_blob
@@ -226,6 +247,21 @@ def write_trie_binary(arpa_path: str, out_path: str, quantized: bool = False,
         entries = sorted_nodes[o]
         next_count = counts[o]  # next level's entry count
         next_bits = required_bits(next_count)
+        bh_section = b""
+        bh_write = None
+        if bhiksha_bits is not None:
+            chopped = chop_bits(len(entries) + 1, next_count, bhiksha_bits)
+            next_bits -= chopped
+            count = (next_count >> next_bits) + 1  # ArrayCount
+            buckets = [0] * count
+            write_ptr = [1]
+
+            def bh_write(slot_index, value):
+                encode = value >> next_bits
+                while write_ptr[0] <= encode:
+                    buckets[write_ptr[0]] = slot_index
+                    write_ptr[0] += 1
+
         qb = (prob_bits + backoff_bits) if quantized else 63
         tb = word_bits + qb + next_bits
         arr = _BitArray(len(entries), tb)
@@ -246,12 +282,22 @@ def write_trie_binary(arpa_path: str, out_path: str, quantized: bool = False,
             else:
                 arr.write_prob31(off, prob)
                 arr.write_f32(off + 31, bo)
-            arr.write(off + qb, next_bits, running)
+            if bh_write is not None:
+                bh_write(i, running)
+            arr.write(off + qb, next_bits,
+                      running & ((1 << next_bits) - 1) if next_bits else 0)
             running += child_count[o].get(path, 0)
-        # end sentinel in the final slot's next field
-        arr.write(len(entries) * tb + word_bits + qb, next_bits, running)
+        # end sentinel in the final slot's next field (the sentinel's
+        # buckets are written with the entry count as slot index)
+        if bh_write is not None:
+            bh_write(len(entries), running)
+            assert write_ptr[0] == count, (write_ptr[0], count)
+            bh_section = struct.pack("<BB6x", 0, bhiksha_bits)
+            bh_section += b"".join(struct.pack("<Q", b) for b in buckets)
+        arr.write(len(entries) * tb + word_bits + qb, next_bits,
+                  running & ((1 << next_bits) - 1) if next_bits else 0)
         assert running == next_count
-        return bytes(arr.buf)
+        return bh_section + bytes(arr.buf)
 
     def pack_longest():
         entries = sorted_nodes[order]
@@ -499,6 +545,189 @@ ngram 2=2
                    (["<s>"], "qux"), (["foo"], "foo")]:
         assert lm.lm_score(ctx, w) == pytest.approx(
             arpa_lm.lm_score(ctx, w), abs=2e-6), (ctx, w)
+
+
+# --- array_trie / quant_array_trie (Bhiksha-coded next pointers) ----------
+
+
+def _write_big_arpa(path: str):
+    """Deterministic ~40-word trigram ARPA large enough that ChopBits picks
+    a nonzero chop at level 2 (real bucket compression, not the degenerate
+    chop=0 layout the tiny fixture produces)."""
+    rng = np.random.RandomState(1)
+    words = [f"w{i:02d}" for i in range(40)]
+    bigrams = sorted({(words[i], words[(i + d) % 40])
+                      for i in range(40) for d in (1, 3, 7)})
+    trigrams = sorted({(words[i], words[(i + 1) % 40], words[(i + 4) % 40])
+                       for i in range(40)} |
+                      {(words[i], words[(i + 3) % 40], words[(i + 6) % 40])
+                       for i in range(40)})
+    with open(path, "w") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={len(words) + 3}\n")
+        f.write(f"ngram 2={len(bigrams)}\n")
+        f.write(f"ngram 3={len(trigrams)}\n\n\\1-grams:\n")
+        f.write("-2.0\t<unk>\n-1.5\t<s>\t-0.4\n-1.8\t</s>\n")
+        for w in words:
+            f.write(f"-{1.0 + rng.rand():.4f}\t{w}\t-{0.2 + 0.3 * rng.rand():.4f}\n")
+        f.write("\n\\2-grams:\n")
+        for a, b in bigrams:
+            f.write(f"-{0.3 + rng.rand():.4f}\t{a} {b}\t-{0.1 + 0.2 * rng.rand():.4f}\n")
+        f.write("\n\\3-grams:\n")
+        for a, b, c in trigrams:
+            f.write(f"-{0.2 + rng.rand():.4f}\t{a} {b} {c}\n")
+        f.write("\n\\end\\\n")
+    return words
+
+
+@pytest.fixture(scope="module")
+def big_arpa(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kenlm_array") / "big.arpa")
+    words = _write_big_arpa(path)
+    return path, words
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_array_trie_scores_match_arpa(tmp_path, big_arpa, quantized):
+    """build_binary -a analogue: array_trie (4) / quant_array_trie (5) score
+    exactly like the ARPA scorer on a model big enough for real Bhiksha
+    chopping (nonzero high bits in the bucket arrays)."""
+    arpa, words = big_arpa
+    out = str(tmp_path / ("qarr.bin" if quantized else "arr.bin"))
+    write_trie_binary(arpa, out, quantized=quantized, bhiksha_bits=22,
+                      prob_bits=10, backoff_bits=10)
+    from conformer_nemo_tpu.decode.kenlm_binary import parse_header
+    hdr = parse_header(out)
+    assert hdr.model_type == ("quant_array_trie" if quantized
+                              else "array_trie")
+
+    # the fixture is only meaningful if chopping actually happened
+    n2 = len(parse_arpa(arpa)[1][2])
+    assert chop_bits(n2 + 1, hdr.counts[2], 22) >= 1
+
+    arpa_lm = BeamSearchDecoderWithLM(["a", " "], beam_width=4, lm_path=arpa,
+                                      lm_binary_cache=False)
+    lm = BeamSearchDecoderWithLM(["a", " "], beam_width=4, lm_path=out,
+                                 kenlm_bin=True)
+    for i, w in enumerate(words):
+        cases = [([], w),
+                 ([words[(i - 1) % 40]], w),
+                 ([words[(i - 4) % 40], words[(i - 3) % 40]], w),
+                 ([words[(i - 2) % 40], words[(i - 1) % 40]], w),
+                 (["<s>", words[(i - 7) % 40]], w)]
+        for ctx, word in cases:
+            a = arpa_lm.lm_score(ctx, word)
+            b = lm.lm_score(ctx, word)
+            assert b == pytest.approx(a, abs=2e-6), (ctx, word, a, b)
+
+
+def test_array_trie_bits_cap_and_inline_zero(tmp_path, big_arpa):
+    """configured bits cap the chop (bhiksha_bits=1 -> chop <= 1), and an
+    inline_bits=0 level (all pointer information in the buckets) still
+    scores exactly: many bigrams but a single trigram makes chopping the
+    full required width optimal."""
+    arpa, words = big_arpa
+    capped = str(tmp_path / "capped.bin")
+    write_trie_binary(arpa, capped, bhiksha_bits=1)
+    arpa_lm = BeamSearchDecoderWithLM(["a", " "], beam_width=4, lm_path=arpa,
+                                      lm_binary_cache=False)
+    lm = BeamSearchDecoderWithLM(["a", " "], beam_width=4, lm_path=capped,
+                                 kenlm_bin=True)
+    for ctx, w in [([], words[0]), ([words[0]], words[1]),
+                   ([words[36], words[37]], words[0]),
+                   ([words[0], words[1]], words[4])]:
+        assert lm.lm_score(ctx, w) == pytest.approx(
+            arpa_lm.lm_score(ctx, w), abs=2e-6), (ctx, w)
+
+    # single-trigram model: required_bits(1) == 1 and > 64 bigram slots make
+    # chop == required optimal -> inline width 0
+    one = str(tmp_path / "one3.arpa")
+    rng = np.random.RandomState(2)
+    ws = [f"v{i:02d}" for i in range(30)]
+    bgs = sorted({(ws[i], ws[(i + d) % 30]) for i in range(30)
+                  for d in (1, 2, 5)})
+    with open(one, "w") as f:
+        f.write("\\data\\\nngram 1=%d\nngram 2=%d\nngram 3=1\n\n\\1-grams:\n"
+                % (len(ws) + 1, len(bgs)))
+        f.write("-2.0\t<unk>\n")
+        for w in ws:
+            f.write(f"-{1.0 + rng.rand():.4f}\t{w}\t-0.3\n")
+        f.write("\n\\2-grams:\n")
+        for a, b in bgs:
+            f.write(f"-{0.4 + rng.rand():.4f}\t{a} {b}\t-0.2\n")
+        f.write(f"\n\\3-grams:\n-0.25\t{ws[0]} {ws[1]} {ws[2]}\n\n\\end\\\n")
+    out = str(tmp_path / "one3.bin")
+    write_trie_binary(one, out, bhiksha_bits=22)
+    n2 = len(parse_arpa(one)[1][2])
+    assert chop_bits(n2 + 1, 1, 22) == required_bits(1)  # inline == 0
+    arpa_lm1 = BeamSearchDecoderWithLM(["a", " "], beam_width=4, lm_path=one,
+                                       lm_binary_cache=False)
+    lm1 = BeamSearchDecoderWithLM(["a", " "], beam_width=4, lm_path=out,
+                                  kenlm_bin=True)
+    for ctx, w in [([ws[0], ws[1]], ws[2]),   # the lone trigram
+                   ([ws[5], ws[0]], ws[1]),
+                   ([ws[1]], ws[2]), ([], ws[9])]:
+        assert lm1.lm_score(ctx, w) == pytest.approx(
+            arpa_lm1.lm_score(ctx, w), abs=2e-6), (ctx, w)
+
+
+def test_array_trie_bigram_only_has_no_bhiksha_sections(tmp_path):
+    """order=2 array_trie: no middle levels -> no bucket arrays; the layout
+    degenerates to the plain trie's and must still load and score."""
+    arpa = str(tmp_path / "bg.arpa")
+    with open(arpa, "w") as f:
+        f.write("\\data\\\nngram 1=4\nngram 2=2\n\n\\1-grams:\n"
+                "-1.2\t<unk>\n-0.8\t<s>\t-0.5\n-1.0\t</s>\n-0.6\tfoo\t-0.4\n"
+                "\n\\2-grams:\n-0.30\t<s> foo\n-0.45\tfoo </s>\n\n\\end\\\n")
+    out = str(tmp_path / "bg_arr.bin")
+    write_trie_binary(arpa, out, bhiksha_bits=22)
+    arpa_lm = BeamSearchDecoderWithLM(["a", " "], beam_width=4, lm_path=arpa,
+                                      lm_binary_cache=False)
+    lm = BeamSearchDecoderWithLM(["a", " "], beam_width=4, lm_path=out,
+                                 kenlm_bin=True)
+    for ctx, w in [([], "foo"), (["<s>"], "foo"), (["foo"], "</s>")]:
+        assert lm.lm_score(ctx, w) == pytest.approx(
+            arpa_lm.lm_score(ctx, w), abs=2e-6), (ctx, w)
+
+
+def test_array_trie_bad_version_byte_rejected(tmp_path, big_arpa):
+    """An unknown Bhiksha section version must fail the layout resolution
+    loudly (kenlm would reject it too), not read garbage buckets."""
+    arpa, _ = big_arpa
+    out = str(tmp_path / "badver.bin")
+    write_trie_binary(arpa, out, bhiksha_bits=22)
+    from conformer_nemo_tpu.decode.kenlm_binary import parse_header
+    hdr = parse_header(out)
+    # locate the level-2 bhiksha header: it starts right after the unigram
+    # records; its second byte is the configured bits (22)
+    with open(out, "rb") as f:
+        blob = bytearray(f.read())
+    probe = struct.pack("<BB6x", 0, 22)
+    pos = blob.find(probe)
+    assert pos > 0 and hdr is not None
+    blob[pos] = 7  # unsupported version
+    with open(out, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="layout"):
+        BeamSearchDecoderWithLM(["a", " "], lm_path=out, kenlm_bin=True)
+
+
+def test_array_trie_corrupt_bucket_array_rejected(tmp_path, big_arpa):
+    """A non-monotone bucket array fails the load-time self-check."""
+    arpa, _ = big_arpa
+    out = str(tmp_path / "badbucket.bin")
+    write_trie_binary(arpa, out, bhiksha_bits=22)
+    with open(out, "rb") as f:
+        blob = bytearray(f.read())
+    probe = struct.pack("<BB6x", 0, 22)
+    pos = blob.find(probe)
+    assert pos > 0
+    # bucket[1] lives 16 bytes after the section start; make it huge
+    blob[pos + 16: pos + 24] = struct.pack("<Q", (1 << 40))
+    with open(out, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="Bhiksha|layout"):
+        BeamSearchDecoderWithLM(["a", " "], lm_path=out, kenlm_bin=True)
 
 
 def test_ctc_api_strategy_accepts_trie_bin(tmp_path, trie_bin):
