@@ -137,9 +137,12 @@ def test_binary_header_parse_matches_real_build_binary(tmp_path, theirs):
         pytest.skip("kenlm build_binary not on PATH")
     from conformer_nemo_tpu.decode.kenlm_binary import is_kenlm_binary, parse_header
 
-    for flavor, expect_type in (("probing", "probing"), ("trie", "trie")):
+    for flavor, expect_type in (("probing", "probing"), ("trie", "trie"),
+                                ("array", "array_trie")):
         out = str(tmp_path / f"lm_{flavor}.bin")
-        subprocess.run([bb, flavor, ARPA, out], check=True, capture_output=True)
+        extra = ["-a", "22", "trie"] if flavor == "array" else [flavor]
+        subprocess.run([bb] + extra + [ARPA, out], check=True,
+                       capture_output=True)
         assert is_kenlm_binary(out)
         hdr = parse_header(out)
         assert hdr is not None and hdr.version is not None
