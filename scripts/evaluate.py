@@ -25,13 +25,14 @@ def main():
     ap.add_argument("--beam-size", type=int, default=4)
     ap.add_argument("--lm-path", default=None,
                     help="n-gram LM for ctc beamsearch_ngram: ARPA text, or "
-                         "a probing/trie/quant_trie KenLM .bin with "
+                         "a probing or trie-family KenLM .bin with "
                          "--kenlm-bin")
     ap.add_argument("--beam-alpha", type=float, default=1.0)
     ap.add_argument("--beam-beta", type=float, default=1.5)
     ap.add_argument("--kenlm-bin", "--kenlm-probing", dest="kenlm_bin",
                     action="store_true",
-                    help="read probing/trie/quant_trie KenLM .bin LMs "
+                    help="read probing and trie-family (incl. -a array) KenLM "
+                         ".bin LMs "
                          "directly (see decode/ctc_beam.py "
                          "BeamSearchDecoderWithLM)")
     args = ap.parse_args(leftover)
